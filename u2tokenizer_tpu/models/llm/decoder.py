@@ -1,0 +1,234 @@
+"""Decoder-only LM stack (Qwen3 / Llama-3.2 / Phi-3 families).
+
+TPU-native replacement for the reference's HF-transformers backbones
+(src/model/language_model/u2llama.py, u2phi3.py, u2qwen3.py — which delegate
+to transformers' LlamaModel/Phi3Model/Qwen3Model). One configurable stack
+covers all three: RMSNorm, GQA attention with RoPE (optional per-head q/k
+RMSNorm for Qwen3), SwiGLU MLP, optional tied embeddings.
+
+Design notes (TPU):
+  * All shapes static; the KV cache is a fixed (L, B, max_len, Hkv, D)
+    buffer written with dynamic_update_slice — prefill writes [0, S) and
+    attends only the static [0, S) slice; decode writes one row per step and
+    attends the full buffer under a length mask.
+  * Attention runs through the shared GQA SDPA op; softmax in fp32.
+  * bfloat16 activations by default, fp32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ...config import LLMConfig
+from ...ops.attention import gqa_sdpa
+from ...ops.rotary import apply_rope, rope_cos_sin
+
+Dtype = Any
+
+
+@struct.dataclass
+class KVCache:
+    """Per-model KV cache: k/v shaped (num_layers, B, max_len, n_kv, head_dim)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return (xf * w).astype(self.dtype)
+
+
+class Attention(nn.Module):
+    cfg: LLMConfig
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                       # (B, S, E)
+        positions: jnp.ndarray,               # (B, S) int32
+        mask: jnp.ndarray,                    # bool (B, 1, S, Sk)
+        cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # (B, max, Hkv, D)
+        write_index: Optional[jax.Array] = None,  # scalar int32: cache write offset
+    ):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        hd = cfg.head_dim
+        proj = lambda feats, name: nn.Dense(
+            feats, use_bias=cfg.attention_bias, dtype=self.dtype, name=name)
+
+        q = proj(cfg.num_heads * hd, "q_proj")(x).reshape(b, s, cfg.num_heads, hd)
+        k = proj(cfg.num_kv_heads * hd, "k_proj")(x).reshape(b, s, cfg.num_kv_heads, hd)
+        v = proj(cfg.num_kv_heads * hd, "v_proj")(x).reshape(b, s, cfg.num_kv_heads, hd)
+
+        if cfg.qk_norm:
+            q = RMSNorm(cfg.rms_norm_eps, self.dtype, name="q_norm")(q)
+            k = RMSNorm(cfg.rms_norm_eps, self.dtype, name="k_norm")(k)
+
+        cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, write_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, write_index, 0, 0))
+            new_cache = (ck, cv)
+            if s > 1:
+                # Prefill: keys occupy [0, s) (write_index is 0) — attend the
+                # static slice only, avoiding S x max_len wasted scores.
+                k_att = ck[:, :s].astype(self.dtype)
+                v_att = cv[:, :s].astype(self.dtype)
+            else:
+                k_att, v_att = ck.astype(self.dtype), cv.astype(self.dtype)
+        else:
+            k_att, v_att = k, v
+
+        out = gqa_sdpa(q, k_att, v_att, mask=mask)
+        out = out.reshape(b, s, cfg.num_heads * hd)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="o_proj")(out), new_cache
+
+
+class MLP(nn.Module):
+    """SwiGLU MLP: down(silu(gate(x)) * up(x))."""
+
+    cfg: LLMConfig
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
+                        name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
+                      name="up_proj")(x)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="down_proj")(nn.silu(gate) * up)
+
+
+class DecoderLayer(nn.Module):
+    cfg: LLMConfig
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, positions, mask, cache_kv=None, write_index=None):
+        y = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x)
+        attn_out, new_cache = Attention(self.cfg, self.dtype, name="self_attn")(
+            y, positions, mask, cache_kv, write_index)
+        x = x + attn_out
+        y = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
+                    name="post_attention_layernorm")(x)
+        x = x + MLP(self.cfg, self.dtype, name="mlp")(y)
+        return x, new_cache
+
+
+class DecoderModel(nn.Module):
+    """Embedding table + decoder layers + final norm."""
+
+    cfg: LLMConfig
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        self.embed_tokens = self.param(
+            "embed_tokens", nn.initializers.normal(stddev=0.02),
+            (self.cfg.vocab_size, self.cfg.hidden_size), jnp.float32)
+        layer_cls = DecoderLayer
+        if self.remat:
+            layer_cls = nn.remat(
+                DecoderLayer, prevent_cse=False,
+                policy=jax.checkpoint_policies.nothing_saveable)
+        self.layers = [layer_cls(self.cfg, self.dtype, name=f"layers_{i}")
+                       for i in range(self.cfg.num_layers)]
+        self.norm_f = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="norm")
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return jnp.take(self.embed_tokens, input_ids, axis=0).astype(self.dtype)
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,           # (B, S, E)
+        positions: jnp.ndarray,               # (B, S)
+        mask: jnp.ndarray,                    # bool (B, 1, S, Sk)
+        cache: Optional[KVCache] = None,
+        write_index: Optional[jax.Array] = None,
+    ):
+        x = inputs_embeds.astype(self.dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            cache_kv = None if cache is None else (cache.k[i], cache.v[i])
+            x, new_cache = layer(x, positions, mask, cache_kv, write_index)
+            if new_cache is not None:
+                new_k.append(new_cache[0])
+                new_v.append(new_cache[1])
+        x = self.norm_f(x)
+        out_cache = None
+        if cache is not None:
+            out_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+        return x, out_cache
+
+
+class CausalLM(nn.Module):
+    """DecoderModel + LM head (tied or separate).
+
+    Public entry points (via ``nn.apply`` method=):
+      * __call__: embeds -> (logits, hidden, cache)
+      * embed_tokens: ids -> embeds
+    """
+
+    cfg: LLMConfig
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        self.model = DecoderModel(self.cfg, self.dtype, self.remat)
+        if not self.cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(self.cfg.vocab_size, use_bias=False,
+                                    dtype=self.dtype, name="lm_head")
+
+    def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.model.embed(input_ids)
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,
+        positions: jnp.ndarray,
+        mask: jnp.ndarray,
+        cache: Optional[KVCache] = None,
+        write_index: Optional[jax.Array] = None,
+    ):
+        hidden, out_cache = self.model(inputs_embeds, positions, mask,
+                                       cache, write_index)
+        if self.cfg.tie_word_embeddings:
+            logits = hidden.astype(jnp.float32) @ jnp.transpose(
+                self.model.embed_tokens).astype(jnp.float32)
+        else:
+            logits = self.lm_head(hidden).astype(jnp.float32)
+        return logits, hidden, out_cache

@@ -1,0 +1,125 @@
+"""μ²LLM: the full multimodal causal LM.
+
+Composes the 3D ViT tower, the spatial-pooling projector, the μ²tokenizer and
+the decoder. Mirrors the reference meta-architecture
+(src/model/u2_arch.py:80-117 u2MetaForCausalLM):
+
+  * ``encode_images``: ViT3D per depth-chunk -> SPP projector (u2_arch.py:91-94).
+  * μ² path: (B, T, D, H, W) volume -> (B·T, 1, D, H, W) chunk batch ->
+    per-chunk 256 projected tokens -> (B, T, 256, E) -> μ²tokenizer with the
+    question-token embeddings as text condition (u2_arch.py:105-110).
+  * Splice contract (u2_arch.py:115-116): inputs_embeds =
+    concat(embeds[:, :1], image_features, embeds[:, 1 + n_img:]). This is the
+    byte-level parity contract with the reference — the image features
+    overwrite embedding rows [1, 1+n_img) regardless of token content.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import U2ModelConfig
+from .llm.decoder import CausalLM, KVCache
+from .projector import build_projector
+from .u2tok.u2tokenizer import U2Tokenizer
+from .vit3d import ViT3DTower
+
+Dtype = Any
+
+
+def causal_padding_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, S) {0,1} -> bool (B, 1, S, S) causal mask with padded keys removed."""
+    b, s = attention_mask.shape
+    causal = jnp.tril(jnp.ones((s, s), dtype=bool))[None, None]
+    key_ok = attention_mask[:, None, None, :].astype(bool)
+    return causal & key_ok
+
+
+class U2CausalLM(nn.Module):
+    cfg: U2ModelConfig
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        self.vision_tower = ViT3DTower(self.cfg.vision, self.dtype,
+                                       name="vision_tower")
+        self.mm_projector = build_projector(
+            self.cfg.projector, self.cfg.vision, self.cfg.llm.hidden_size,
+            self.dtype, name="mm_projector")
+        if self.cfg.u2t.enable:
+            self.u2tokenizer = U2Tokenizer(
+                self.cfg.llm.hidden_size, self.cfg.u2t, self.dtype,
+                name="u2tokenizer")
+        self.llm = CausalLM(self.cfg.llm, self.dtype, self.remat, name="llm")
+
+    # --- vision ---
+
+    def encode_images(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(N, 1, D, H, W) -> (N, proj_out_num, llm_hidden)."""
+        feats = self.vision_tower(images)
+        if self.mm_projector is not None:
+            feats = self.mm_projector(feats)
+        return feats
+
+    def encode_vision(self, images: jnp.ndarray,
+                      question_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """(B, T, D, H, W) volume chunks -> (B, n_img, llm_hidden) image tokens."""
+        b, t = images.shape[:2]
+        chunks = images.reshape(b * t, 1, *images.shape[2:])
+        feats = self.encode_images(chunks)
+        if self.cfg.u2t.enable:
+            v_tokens = feats.reshape(b, t, feats.shape[-2], feats.shape[-1])
+            t_tokens = self.llm.embed_tokens(question_ids)
+            return self.u2tokenizer(v_tokens, t_tokens)
+        return feats.reshape(b, t * feats.shape[-2], feats.shape[-1])
+
+    # --- multimodal splice ---
+
+    def prepare_inputs_embeds(self, input_ids: jnp.ndarray,
+                              images: Optional[jnp.ndarray],
+                              question_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
+        embeds = self.llm.embed_tokens(input_ids)
+        if images is None:
+            return embeds
+        img = self.encode_vision(images, question_ids).astype(embeds.dtype)
+        n = img.shape[1]
+        return jnp.concatenate(
+            [embeds[:, :1], img, embeds[:, 1 + n:]], axis=1)
+
+    # --- forward ---
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,                 # (B, S)
+        images: Optional[jnp.ndarray] = None,   # (B, T, D, H, W)
+        question_ids: Optional[jnp.ndarray] = None,  # (B, Sq)
+        attention_mask: Optional[jnp.ndarray] = None,  # (B, S)
+        cache: Optional[KVCache] = None,
+        write_index: Optional[jax.Array] = None,
+    ):
+        embeds = self.prepare_inputs_embeds(input_ids, images, question_ids)
+        return self.forward_embeds(embeds, attention_mask, cache, write_index)
+
+    def forward_embeds(self, inputs_embeds, attention_mask=None, cache=None,
+                       write_index=None, positions=None, mask=None):
+        b, s, _ = inputs_embeds.shape
+        if attention_mask is None and mask is None:
+            attention_mask = jnp.ones((b, s), dtype=jnp.int32)
+        if mask is None:
+            mask = causal_padding_mask(attention_mask)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        return self.llm(inputs_embeds, positions, mask, cache, write_index)
+
+    # --- exposed submodule entry points (for apply(..., method=...)) ---
+
+    def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.llm.embed_tokens(input_ids)
+
+    def decode_step(self, token_embeds, positions, mask, cache, write_index):
+        """One decode step: (B, 1, E) embeds against the full cache."""
+        return self.llm(token_embeds, positions, mask, cache, write_index)

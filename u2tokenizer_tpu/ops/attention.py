@@ -1,0 +1,117 @@
+"""Attention compute ops.
+
+Functional scaled-dot-product attention used by every module in the framework
+(μ²tokenizer RMA/RoPE/cross attention, 3D ViT blocks, and the decoder).
+
+Two paths:
+  * ``sdpa`` — plain XLA einsum formulation. For the small/medium sequence
+    lengths in this model family (8..2049 tokens) XLA already fuses the
+    softmax into the matmuls well; it is also the reference-semantics path
+    used by parity tests.
+  * ``flash_attention`` (ops/flash_attention.py) — Pallas blocked
+    flash-attention kernel for the long-sequence hot spots (ViT 2049-token
+    self-attention, decoder prefill).
+
+Reference semantics being matched: src/model/u2tokenizer/rma.py:45-83
+(scores/sqrt(d) + bias, softmax, weighted sum) and
+src/model/u2tokenizer/tta.py:42-70 (cross attention, optional ``is_compress``
+which skips the value projection and the output projection).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    softmax_in_fp32: bool = True,
+) -> jax.Array:
+    """Scaled dot-product attention.
+
+    Args:
+      q: (B, Sq, H, D) queries.
+      k: (B, Sk, H, D) keys.
+      v: (B, Sk, H, Dv) values.
+      bias: optional additive bias broadcastable to (B, H, Sq, Sk).
+      mask: optional boolean mask broadcastable to (B, H, Sq, Sk);
+        False positions are masked out.
+      scale: score scale; defaults to 1/sqrt(D).
+
+    Returns:
+      (B, Sq, H, Dv) attention output in q.dtype.
+    """
+    depth = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (depth ** 0.5)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    scores = scores * jnp.asarray(scale, dtype=scores.dtype)
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    if softmax_in_fp32:
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def gqa_sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Grouped-query attention: q has H heads, k/v have Hkv heads, H % Hkv == 0.
+
+    Args:
+      q: (B, Sq, H, D)
+      k/v: (B, Sk, Hkv, D)
+      mask: broadcastable to (B, H, Sq, Sk) boolean.
+    """
+    b, sq, h, d = q.shape
+    hkv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    group = h // hkv
+    qg = q.reshape(b, sq, hkv, group, d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k) * jnp.asarray(scale, q.dtype)
+    if mask is not None:
+        sk = k.shape[1]
+        m = jnp.broadcast_to(mask, (b, h, sq, sk)).reshape(b, hkv, group, sq, sk)
+        scores = jnp.where(m, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, sq, h, d)
+
+
+def causal_mask(sq: int, sk: int, offset: int = 0) -> jax.Array:
+    """Boolean (1, 1, sq, sk) causal mask; query i attends keys <= i + offset."""
+    qi = jnp.arange(sq)[:, None] + offset
+    ki = jnp.arange(sk)[None, :]
+    return (ki <= qi)[None, None, :, :]
+
+
+def relative_position_bias(table: jax.Array, seq_len: int, max_seq_len: int) -> jax.Array:
+    """Learned relative-position bias lookup.
+
+    Matches src/model/u2tokenizer/rma.py:66-73: ``table`` has shape
+    (2*max_seq_len - 1, H); entry for (query i, key j) is
+    table[(j - i) + max_seq_len - 1]. Returns (1, H, S, S).
+    """
+    pos = jnp.arange(seq_len)
+    rel = pos[None, :] - pos[:, None] + (max_seq_len - 1)  # (S, S)
+    bias = jnp.take(table, rel, axis=0)  # (S, S, H)
+    return jnp.transpose(bias, (2, 0, 1))[None]
