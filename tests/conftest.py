@@ -14,10 +14,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize pins jax to the TPU plugin regardless of env vars;
+# override via jax.config so tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def rng():
-    import jax
     return jax.random.PRNGKey(0)

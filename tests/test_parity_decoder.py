@@ -1,0 +1,107 @@
+"""Decoder parity vs. HF transformers (tiny random-weight models as oracle).
+
+Validates the full decoder semantics — RMSNorm, GQA+RoPE (+Qwen3 q/k norm),
+SwiGLU, tied/untied lm_head — and the weight converter, for all three
+families the reference wraps (u2llama.py / u2phi3.py / u2qwen3.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from u2tokenizer_tpu.config import LLMConfig
+from u2tokenizer_tpu.models.hf_weights import convert_decoder, llm_config_from_hf
+from u2tokenizer_tpu.models.llm.decoder import CausalLM
+
+
+def _hf_tiny(family):
+    if family == "qwen3":
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+        cfg = Qwen3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, rope_theta=10000.0, rms_norm_eps=1e-6,
+            tie_word_embeddings=True, max_position_embeddings=256)
+        return Qwen3ForCausalLM(cfg), cfg
+    if family == "llama":
+        from transformers import LlamaConfig, LlamaForCausalLM
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            tie_word_embeddings=False, max_position_embeddings=256,
+            attention_bias=False)
+        return LlamaForCausalLM(cfg), cfg
+    if family == "phi3":
+        from transformers import Phi3Config, Phi3ForCausalLM
+        cfg = Phi3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+            rope_theta=10000.0, rms_norm_eps=1e-5,
+            tie_word_embeddings=False, max_position_embeddings=256,
+            pad_token_id=0)
+        return Phi3ForCausalLM(cfg), cfg
+    raise ValueError(family)
+
+
+@pytest.mark.parametrize("family", ["qwen3", "llama", "phi3"])
+def test_decoder_logits_parity(family):
+    torch.manual_seed(0)
+    hf_model, hf_cfg = _hf_tiny(family)
+    hf_model.eval()
+
+    cfg = llm_config_from_hf(hf_cfg)
+    assert cfg.model_type == family
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    params = {"params": convert_decoder(sd, cfg)}
+
+    model = CausalLM(cfg, dtype=jnp.float32)
+    ids = torch.randint(0, 128, (2, 12), generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        ref = hf_model(ids).logits.numpy()
+
+    ids_j = jnp.asarray(ids.numpy())
+    embeds = model.apply(params, ids_j, method=CausalLM.embed_tokens)
+    s = ids_j.shape[1]
+    positions = jnp.broadcast_to(jnp.arange(s), (2, s))
+    mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    logits, _, _ = model.apply(params, embeds, positions, mask)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_cache_consistency():
+    """Cached decode must equal the uncached forward at every position."""
+    import jax
+
+    cfg = LLMConfig.tiny(vocab_size=64)
+    model = CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    s = 10
+    ids = jax.random.randint(rng, (1, s), 0, 64)
+    positions = jnp.broadcast_to(jnp.arange(s), (1, s))
+    mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    embeds_fn = lambda p, i: model.apply(p, i, method=CausalLM.embed_tokens)
+    params = model.init(rng, embeds_fn({}, ids) if False else jnp.zeros((1, s, cfg.hidden_size)), positions, mask)
+    embeds = embeds_fn(params, ids)
+    full_logits, _, _ = model.apply(params, embeds, positions, mask)
+
+    from u2tokenizer_tpu.models.llm.decoder import KVCache
+    cache = KVCache.create(cfg, 1, s, dtype=jnp.float32)
+    # prefill first 4
+    pre = 4
+    logits_p, _, cache = model.apply(
+        params, embeds[:, :pre], positions[:, :pre],
+        jnp.tril(jnp.ones((pre, pre), bool))[None, None], cache, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(full_logits[:, :pre]),
+                               rtol=1e-5, atol=1e-5)
+    # decode the rest one-by-one
+    kv_pos = jnp.arange(s)
+    for t in range(pre, s):
+        step_mask = (kv_pos <= t)[None, None, None, :]
+        logits_t, _, cache = model.apply(
+            params, embeds[:, t:t + 1], positions[:, t:t + 1],
+            step_mask, cache, jnp.int32(t))
+        np.testing.assert_allclose(
+            np.asarray(logits_t[:, 0]), np.asarray(full_logits[:, t]),
+            rtol=1e-5, atol=1e-5)

@@ -1,0 +1,168 @@
+"""Numerical parity vs. the reference PyTorch μ²tokenizer (golden oracle).
+
+Every module family is compared with identical weights and inputs:
+RMA / RoPE attention, cross attention (both modes), SVR (all selection and
+pooling variants), TTA, and the full μ²Tokenizer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from golden_utils import (
+    randomize_torch_module,
+    rma_params,
+    svr_params,
+    t2n,
+    tta_params,
+    u2tokenizer_params,
+)
+
+from u2tokenizer_tpu.config import U2TokenizerConfig
+from u2tokenizer_tpu.models.u2tok.attention import (
+    MultiHeadCrossAttention,
+    RelativeMultiheadAttention,
+    RotaryMultiheadAttention,
+)
+from u2tokenizer_tpu.models.u2tok.svr import SpatioTemporalVisualTokenRefiner
+from u2tokenizer_tpu.models.u2tok.tta import TextConditionTokenAggregator
+from u2tokenizer_tpu.models.u2tok.u2tokenizer import U2Tokenizer
+
+D_MODEL, HEADS, MAX_SEQ = 64, 4, 64
+TOL = dict(rtol=2e-5, atol=2e-5)
+
+
+def assert_close_scaled(out, ref, tol=2e-5):
+    """Compare with tolerance scaled to the reference magnitude — the SVR
+    stack has no layer norms (svr.py:23-40), so randomized-weight activations
+    grow large and raw fp32 ulp drift scales with them."""
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=tol * scale)
+
+
+def rand(shape, seed):
+    g = torch.Generator().manual_seed(seed)
+    return torch.randn(*shape, generator=g)
+
+
+def test_rma_parity():
+    from src.model.u2tokenizer.rma import RelativeMultiheadAttention as TorchRMA
+
+    tm = randomize_torch_module(TorchRMA(D_MODEL, HEADS, max_seq_len=MAX_SEQ), 1)
+    x = rand((2, 16, D_MODEL), 2)
+    with torch.no_grad():
+        ref, _ = tm(x, x, x)
+
+    fm = RelativeMultiheadAttention(D_MODEL, HEADS, max_seq_len=MAX_SEQ)
+    params = {"params": rma_params(tm)}
+    out = fm.apply(params, jnp.asarray(t2n(x)), jnp.asarray(t2n(x)),
+                   jnp.asarray(t2n(x)))
+    np.testing.assert_allclose(np.asarray(out), t2n(ref), **TOL)
+
+
+def test_rope_parity():
+    from src.model.u2tokenizer.rope import RotaryMultiheadAttention as TorchRope
+
+    tm = randomize_torch_module(TorchRope(D_MODEL, HEADS, max_seq_len=MAX_SEQ), 3)
+    x = rand((2, 16, D_MODEL), 4)
+    with torch.no_grad():
+        ref, _ = tm(x, x, x)
+
+    fm = RotaryMultiheadAttention(D_MODEL, HEADS, max_seq_len=MAX_SEQ)
+    params = {"params": rma_params(tm)}
+    out = fm.apply(params, jnp.asarray(t2n(x)), jnp.asarray(t2n(x)),
+                   jnp.asarray(t2n(x)))
+    np.testing.assert_allclose(np.asarray(out), t2n(ref), **TOL)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_cross_attention_parity(compress):
+    from src.model.u2tokenizer.tta import MultiHeadCrossAttention as TorchMHCA
+
+    tm = randomize_torch_module(TorchMHCA(D_MODEL, HEADS), 5)
+    q = rand((2, 8, D_MODEL), 6)
+    v = rand((2, 24, D_MODEL), 7)
+    with torch.no_grad():
+        ref = tm(q, v, is_compress=compress)
+
+    fm = MultiHeadCrossAttention(D_MODEL, HEADS)
+    params = {"params": rma_params(tm, compress_used=compress)}
+    out = fm.apply(params, jnp.asarray(t2n(q)), jnp.asarray(t2n(v)),
+                   is_compress=compress)
+    np.testing.assert_allclose(np.asarray(out), t2n(ref), **TOL)
+
+
+@pytest.mark.parametrize("attn_type", ["rma", "rope"])
+@pytest.mark.parametrize("selection,pooling", [
+    ("hard", "fixed"), ("diffts", "fixed"), ("hard", "dmtp"), ("hard", "none"),
+])
+def test_svr_parity(attn_type, selection, pooling):
+    from src.model.u2tokenizer.svr import (
+        SpatioTemporalVisualTokenRefinerModel as TorchSVR,
+    )
+
+    top_k = 32
+    tm = TorchSVR(
+        embed_size=D_MODEL, num_heads=HEADS, num_layers=2, top_k=top_k,
+        use_multi_scale=(pooling != "none"), attn_type=attn_type,
+        enable_diffts=(selection == "diffts"), enable_dmtp=(pooling == "dmtp"))
+    # reference RMA has max_seq_len=512 fixed; our module must match it
+    randomize_torch_module(tm, 8, std=0.05)
+    x = rand((2, 4, 16, D_MODEL), 9)
+    with torch.no_grad():
+        ref = tm(x)
+
+    fm = SpatioTemporalVisualTokenRefiner(
+        embed_size=D_MODEL, num_heads=HEADS, num_layers=2, top_k=top_k,
+        use_multi_scale=(pooling != "none"), attn_type=attn_type,
+        enable_diffts=(selection == "diffts"), enable_dmtp=(pooling == "dmtp"),
+        max_seq_len=512)
+    params = {"params": svr_params(tm)}
+    out = fm.apply(params, jnp.asarray(t2n(x)))
+    assert_close_scaled(out, t2n(ref))
+
+
+@pytest.mark.parametrize("attn_type", ["rma", "rope"])
+def test_tta_parity(attn_type):
+    from src.model.u2tokenizer.tta import (
+        TextConditionTokenAggregatorModel as TorchTTA,
+    )
+
+    tm = randomize_torch_module(TorchTTA(D_MODEL, 2, HEADS, attn_type=attn_type), 10, std=0.05)
+    q = rand((2, 8, D_MODEL), 11)
+    vis = rand((2, 56, D_MODEL), 12)
+    txt = rand((2, 13, D_MODEL), 13)
+    with torch.no_grad():
+        ref = tm(q, vis, txt)
+
+    fm = TextConditionTokenAggregator(D_MODEL, 2, HEADS, attn_type=attn_type,
+                                      max_seq_len=512)
+    params = {"params": tta_params(tm)}
+    out = fm.apply(params, jnp.asarray(t2n(q)), jnp.asarray(t2n(vis)),
+                   jnp.asarray(t2n(txt)))
+    np.testing.assert_allclose(np.asarray(out), t2n(ref), rtol=5e-5, atol=5e-5)
+
+
+def test_u2tokenizer_full_parity():
+    from src.model.u2tokenizer.u2Tokenizer import u2Tokenizer as TorchU2
+
+    tm = TorchU2(
+        embed_size=D_MODEL, num_heads=HEADS, num_layers=2, top_k=32,
+        use_multi_scale=True, num_3d_query_token=8, hidden_size=D_MODEL,
+        attn_type="rma")
+    randomize_torch_module(tm, 14, std=0.05)
+    v = rand((2, 4, 16, D_MODEL), 15)
+    t = rand((2, 13, D_MODEL), 16)
+    with torch.no_grad():
+        ref = tm(v, t)
+
+    cfg = U2TokenizerConfig(num_heads=HEADS, num_layers=2, top_k=32,
+                            use_multi_scale=True, num_query_tokens=8,
+                            attn_type="rma", max_seq_len=512)
+    fm = U2Tokenizer(D_MODEL, cfg)
+    params = {"params": u2tokenizer_params(tm)}
+    out = fm.apply(params, jnp.asarray(t2n(v)), jnp.asarray(t2n(t)))
+    assert out.shape == (2, 8, D_MODEL)
+    assert_close_scaled(out, t2n(ref))
