@@ -1,0 +1,106 @@
+"""Headline benchmark: reports/min/chip for 256³ CT → radiology report.
+
+Measures the full μ²Qwen3-1.7B inference path on one TPU chip (random
+weights — throughput is weight-value independent): 8-chunk 3D ViT encode +
+SPP + μ²tokenizer + 1024-token multimodal prefill + 768-token KV-cache
+decode (the reference generation protocol: green_refactored/lu2_model.py:63,
+max_new_tokens=768).
+
+Prints ONE JSON line:
+  {"metric": "reports/min/chip", "value": N, "unit": "reports/min",
+   "vs_baseline": N}
+
+Baseline note (BASELINE.md): the reference publishes no absolute numbers; the
+A40 reference rate used here is an engineering estimate of the PyTorch
+HF-generate path for μ²Qwen3-1.7B on one A40 (bf16 weight streaming at
+~600 GB/s with HF per-step overhead + ViT3D encode): ~15 s/report ≈ 4.0
+reports/min. Recorded as ``baseline_estimated`` until measured on hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A40_BASELINE_REPORTS_PER_MIN = 4.0  # estimated; see module docstring
+
+BATCH = 4
+PROMPT_LEN = 1024
+MAX_NEW_TOKENS = 768
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from u2tokenizer_tpu.config import GenerationConfig, U2ModelConfig
+    from u2tokenizer_tpu.models.generate import make_multimodal_generate_fn
+    from u2tokenizer_tpu.models.u2_model import U2CausalLM
+
+    cfg = U2ModelConfig()  # μ²Qwen3-1.7B
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    b = BATCH
+    d, h, w = cfg.vision.input_spatial
+    images = jax.random.normal(rng, (b, cfg.num_chunks, d, h, w), jnp.bfloat16)
+    input_ids = jnp.zeros((b, PROMPT_LEN), jnp.int32)
+    question_ids = jnp.ones((b, 64), jnp.int32)
+    prompt_len = jnp.full((b,), PROMPT_LEN, jnp.int32)
+
+    log(f"bench: initializing μ²Qwen3-1.7B params on {jax.devices()[0]}")
+    t0 = time.time()
+    params = jax.jit(lambda r: model.init(r, input_ids, images, question_ids))(rng)
+    np.asarray(jax.tree_util.tree_leaves(params)[0])
+    log(f"bench: init done in {time.time() - t0:.1f}s")
+
+    gen = GenerationConfig(max_new_tokens=MAX_NEW_TOKENS, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    gen_fn = make_multimodal_generate_fn(model, gen)
+
+    log("bench: compiling generate (prefill + decode scan)")
+    t0 = time.time()
+    toks = gen_fn(params, input_ids, images, question_ids, prompt_len,
+                  jax.random.PRNGKey(1))
+    # NOTE: on the axon platform block_until_ready() does not synchronize;
+    # fetching the (tiny) token array is the only reliable fence.
+    np.asarray(toks)
+    log(f"bench: first call (compile+run) {time.time() - t0:.1f}s")
+
+    # timed runs (synchronize by fetching the 12KB token array)
+    n_runs = 2
+    t0 = time.time()
+    for i in range(n_runs):
+        toks = gen_fn(params, input_ids, images, question_ids, prompt_len,
+                      jax.random.PRNGKey(2 + i))
+        np.asarray(toks)
+    dt = (time.time() - t0) / n_runs
+    reports_per_min = b * 60.0 / dt
+    log(f"bench: {dt:.2f}s per batch of {b} "
+        f"({dt / b:.2f}s/report, {reports_per_min:.2f} reports/min/chip)")
+
+    print(json.dumps({
+        "metric": "reports/min/chip",
+        "value": round(reports_per_min, 3),
+        "unit": "reports/min",
+        "vs_baseline": round(reports_per_min / A40_BASELINE_REPORTS_PER_MIN, 3),
+        "detail": {
+            "model": "u2-qwen3-1.7b (random weights)",
+            "batch": b,
+            "prompt_len": PROMPT_LEN,
+            "max_new_tokens": MAX_NEW_TOKENS,
+            "seconds_per_batch": round(dt, 3),
+            "baseline_estimated": True,
+            "baseline_reports_per_min_a40": A40_BASELINE_REPORTS_PER_MIN,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

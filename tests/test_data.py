@@ -1,0 +1,209 @@
+"""Data layer tests: NIfTI IO, u2 transform geometry, dataset tokenization
+semantics (label masking parity with fused_dataset.py:153-188)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from u2tokenizer_tpu.data.datasets import (
+    IGNORE_INDEX,
+    DataLoader,
+    FusedDataset,
+    collate_batch,
+)
+from u2tokenizer_tpu.data.nifti import read_nifti, write_nifti
+from u2tokenizer_tpu.data.transforms import (
+    U2VolumeTransform,
+    crop_foreground,
+    resize_trilinear,
+    scale_intensity_range_percentiles,
+)
+
+
+class MockTokenizer:
+    """Whitespace tokenizer with an HF-compatible surface."""
+
+    pad_token_id = 0
+    eos_token_id = 1
+
+    def __init__(self):
+        self.vocab = {"<pad>": 0, "</s>": 1, "<im_patch>": 2}
+
+    def _id(self, w):
+        if w not in self.vocab:
+            self.vocab[w] = len(self.vocab)
+        return self.vocab[w]
+
+    def __call__(self, text, add_special_tokens=False, **kw):
+        words = []
+        # split out <im_patch> runs
+        rest = text
+        while "<im_patch>" in rest:
+            pre, rest = rest.split("<im_patch>", 1)
+            words.extend(pre.split())
+            words.append("<im_patch>")
+        words.extend(rest.split())
+        return {"input_ids": [self._id(w) for w in words]}
+
+    def apply_chat_template(self, messages, tokenize=False,
+                            add_generation_prompt=True):
+        return "<user> " + messages[0]["content"] + " <assistant>"
+
+
+@pytest.fixture()
+def nifti_volume(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(-1000, 400, size=(40, 50, 30)).astype(np.float32)
+    path = str(tmp_path / "vol.nii.gz")
+    write_nifti(path, vol)
+    return path, vol
+
+
+def test_nifti_roundtrip(nifti_volume):
+    path, vol = nifti_volume
+    loaded = read_nifti(path)
+    assert loaded.shape == vol.shape
+    np.testing.assert_allclose(loaded, vol, rtol=1e-6)
+
+
+def test_nifti_uncompressed(tmp_path):
+    vol = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    path = str(tmp_path / "v.nii")
+    write_nifti(path, vol)
+    np.testing.assert_allclose(read_nifti(path), vol)
+
+
+def test_percentile_windowing():
+    x = np.linspace(0, 100, 1001)
+    out = scale_intensity_range_percentiles(x, 0.5, 99.5)
+    assert out.min() == 0.0 and out.max() == 1.0
+    assert (out[(x > 1) & (x < 99)] > 0).all()
+
+
+def test_crop_foreground():
+    x = np.zeros((1, 10, 10, 10))
+    x[0, 2:5, 3:7, 1:9] = 1.0
+    out = crop_foreground(x)
+    assert out.shape == (1, 3, 4, 8)
+
+
+def test_resize_identity():
+    x = np.random.default_rng(0).normal(size=(8, 8, 8))
+    np.testing.assert_array_equal(resize_trilinear(x, (8, 8, 8)), x)
+
+
+def test_resize_align_corners():
+    x = np.linspace(0, 1, 5)[:, None, None] * np.ones((5, 3, 3))
+    out = resize_trilinear(x, (9, 3, 3), anti_aliasing=False)
+    np.testing.assert_allclose(out[:, 0, 0], np.linspace(0, 1, 9), atol=1e-6)
+
+
+def test_u2_transform_shape(nifti_volume):
+    path, _ = nifti_volume
+    t = U2VolumeTransform(data_type="validation", target_size=64,
+                          chunk_depth=8, num_chunks=4)
+    out = t(path)
+    assert out.shape == (4, 8, 64, 64)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_u2_transform_training_augment(nifti_volume):
+    path, _ = nifti_volume
+    t = U2VolumeTransform(data_type="training", target_size=64,
+                          chunk_depth=8, num_chunks=4, seed=0)
+    out1 = t(path)
+    out2 = t(path)
+    assert out1.shape == out2.shape == (4, 8, 64, 64)
+    # augmentation random state advances -> different outputs (with high prob)
+    assert not np.array_equal(out1, out2)
+
+
+@pytest.fixture()
+def jsonl_dataset(tmp_path, nifti_volume):
+    path, _ = nifti_volume
+    rows = [
+        {"image": os.path.basename(path),
+         "question": "Describe the chest findings",
+         "answer": "Lungs are clear with no effusion"},
+        {"image": os.path.basename(path),
+         "question": "Any abnormality",
+         "answer": "None seen"},
+    ]
+    jsonl = tmp_path / "data.jsonl"
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(tmp_path), "data.jsonl"
+
+
+def test_fused_dataset_masking(jsonl_dataset):
+    base, jsonl = jsonl_dataset
+    tok = MockTokenizer()
+    ds = FusedDataset(base, jsonl, tok, max_length=64, image_tokens_num=4,
+                      data_type="validation", num_chunks=4, chunk_depth=8,
+                      target_size=64)
+    s = ds[0]
+    assert s["image"].shape == (4, 8, 64, 64)
+    assert s["input_id"].shape == (64,)
+
+    # question span + padding masked; answer tokens present
+    q_ids = tok(s["question"])["input_ids"]
+    qlen = len(q_ids)
+    full_ids = tok(s["question"] + s["answer"])["input_ids"]
+    valid = len(full_ids)
+    assert (s["label"][:qlen] == IGNORE_INDEX).all()
+    np.testing.assert_array_equal(s["label"][qlen:valid], full_ids[qlen:])
+    # eos written at the first pad slot and kept as a training target
+    assert s["input_id"][valid] == tok.eos_token_id
+    assert s["label"][valid] == tok.eos_token_id
+    assert (s["label"][valid + 1:] == IGNORE_INDEX).all()
+    # question_ids = raw question only
+    raw_q = tok(s["prompt_question"])["input_ids"]
+    np.testing.assert_array_equal(s["question_ids"][:len(raw_q)], raw_q)
+    assert (s["question_ids"][len(raw_q):] == tok.pad_token_id).all()
+
+
+def test_fused_dataset_dpo_mode(jsonl_dataset, tmp_path):
+    base, jsonl = jsonl_dataset
+    # rewrite with chosen/rejected
+    rows = []
+    with open(os.path.join(base, jsonl)) as f:
+        for line in f:
+            r = json.loads(line)
+            r["chosen"] = "good report"
+            r["rejected"] = "bad report"
+            rows.append(r)
+    with open(os.path.join(base, "dpo.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = FusedDataset(base, "dpo.jsonl", MockTokenizer(), max_length=32,
+                      image_tokens_num=4, dpo_mode=True, return_image=False)
+    s = ds[0]
+    assert s["chosen"] == "good report"
+    assert s["rejected"] == "bad report"
+    assert isinstance(s["image"], str)  # path only (return_image=False)
+
+
+def test_dataloader_shards_and_batches(jsonl_dataset):
+    base, jsonl = jsonl_dataset
+    tok = MockTokenizer()
+    ds = FusedDataset(base, jsonl, tok, max_length=32, image_tokens_num=4,
+                      data_type="validation", num_chunks=4, chunk_depth=8,
+                      target_size=64)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["images"].shape == (2, 4, 8, 64, 64)
+    assert b["input_ids"].shape == (2, 32)
+    assert b["labels"].shape == (2, 32)
+
+    # two-process sharding reads disjoint halves
+    dl0 = DataLoader(ds, batch_size=1, shuffle=False, process_index=0,
+                     process_count=2, num_workers=1)
+    dl1 = DataLoader(ds, batch_size=1, shuffle=False, process_index=1,
+                     process_count=2, num_workers=1)
+    assert len(list(dl0)) == 1 and len(list(dl1)) == 1

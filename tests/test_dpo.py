@@ -1,0 +1,93 @@
+"""DPO tests: collation layout, loss properties, end-to-end train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from test_data import MockTokenizer
+
+from u2tokenizer_tpu.config import DPOConfig, TrainConfig, U2ModelConfig
+from u2tokenizer_tpu.models.u2_model import U2CausalLM
+from u2tokenizer_tpu.train.dpo import (
+    collate_preference_batch,
+    dpo_loss,
+    make_dpo_loss_fn,
+    make_dpo_train_step,
+)
+from u2tokenizer_tpu.train.sft import TrainState, make_optimizer
+
+
+def _samples(cfg, n=2):
+    d, h, w = cfg.vision.input_spatial
+    rng = np.random.default_rng(0)
+    return [{
+        "prompt": f"describe case {i}",
+        "chosen": "clear lungs no effusion",
+        "rejected": "bad",
+        "image": rng.normal(size=(cfg.num_chunks, d, h, w)).astype(np.float32),
+        "prompt_question_ids": np.ones(6, np.int32),
+    } for i in range(n)]
+
+
+def test_collate_layout():
+    cfg = U2ModelConfig.tiny()
+    tok = MockTokenizer()
+    batch = collate_preference_batch(_samples(cfg), tok, 8, 8)
+    assert batch["input_ids"].shape == (4, 16)
+    # chosen rows then rejected rows; completion mask excludes prompt
+    prompt_len = len(tok("describe case 0")["input_ids"])
+    assert batch["completion_mask"][0, :prompt_len].sum() == 0
+    assert batch["completion_mask"][0].sum() > 0
+    # every completion ends with eos
+    for row in range(4):
+        seq_len = int(batch["attention_mask"][row].sum())
+        assert batch["input_ids"][row, seq_len - 1] == tok.eos_token_id
+    # chosen longer than rejected
+    assert batch["completion_mask"][0].sum() > batch["completion_mask"][2].sum()
+
+
+def test_dpo_loss_properties():
+    cfg = DPOConfig(beta=0.1)
+    # preferring chosen -> lower loss than preferring rejected
+    good, _ = dpo_loss(jnp.array([0.0]), jnp.array([-5.0]),
+                       jnp.array([0.0]), jnp.array([0.0]), cfg)
+    bad, _ = dpo_loss(jnp.array([-5.0]), jnp.array([0.0]),
+                      jnp.array([0.0]), jnp.array([0.0]), cfg)
+    neutral, _ = dpo_loss(jnp.array([0.0]), jnp.array([0.0]),
+                          jnp.array([0.0]), jnp.array([0.0]), cfg)
+    assert float(good) < float(neutral) < float(bad)
+    np.testing.assert_allclose(float(neutral), np.log(2), rtol=1e-5)
+
+
+def test_dpo_train_step_runs_and_separates():
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    tok = MockTokenizer()
+    batch = collate_preference_batch(_samples(cfg), tok, 8, 8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, batch["input_ids"][:2],
+                        batch["images"], batch["question_ids"])
+    ref_params = jax.tree_util.tree_map(lambda x: x, params)
+
+    dcfg = DPOConfig(beta=0.1)
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3, warmup_ratio=0.0), 10)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step = jax.jit(make_dpo_train_step(model, tx, dcfg))
+
+    # at init policy == ref -> loss = log(2), margin 0
+    loss_fn = make_dpo_loss_fn(model, dcfg)
+    _, m0 = loss_fn(params, ref_params, batch)
+    np.testing.assert_allclose(float(m0["loss"]), np.log(2), rtol=1e-4)
+    np.testing.assert_allclose(float(m0["rewards_margin"]), 0.0, atol=1e-5)
+
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, ref_params, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # preference being learned
+    _, m1 = loss_fn(state.params, ref_params, batch)
+    assert float(m1["rewards_margin"]) > 0.0

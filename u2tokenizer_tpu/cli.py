@@ -1,0 +1,501 @@
+"""Command-line entry points.
+
+Replaces the reference's shell-launcher layer (script/*.sh + accelerate
+launch + per-task eval mains):
+
+  python -m u2tokenizer_tpu.cli train     — stage-1 SFT
+  python -m u2tokenizer_tpu.cli dpo       — stage-2 DPO
+  python -m u2tokenizer_tpu.cli generate  — CT volume(s) -> report jsonl
+  python -m u2tokenizer_tpu.cli green     — GREEN-score a predictions jsonl
+  python -m u2tokenizer_tpu.cli dpo-convert — greened jsonl -> DPO pairs
+  python -m u2tokenizer_tpu.cli selftest  — tiny end-to-end pipeline on
+                                             synthetic data (no checkpoints)
+
+Model/config flags accept a JSON config file (U2ModelConfig.to_json schema);
+tokenizers are HF AutoTokenizer directories.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--config", type=str, default=None,
+                   help="U2ModelConfig JSON file (default: flagship 1.7B)")
+    p.add_argument("--tiny", action="store_true",
+                   help="use the tiny test config")
+
+
+def _load_model_config(args):
+    from .config import U2ModelConfig
+
+    if args.tiny:
+        return U2ModelConfig.tiny()
+    if args.config:
+        with open(args.config) as f:
+            return U2ModelConfig.from_dict(json.load(f))
+    return U2ModelConfig()
+
+
+def _load_tokenizer(path):
+    if path is None or path == "mock":
+        from .utils.mock_tokenizer import MockTokenizer
+
+        return MockTokenizer()
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(path, trust_remote_code=False)
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from .config import MeshConfig, TrainConfig
+    from .data.datasets import DataLoader, FusedDataset
+    from .models.u2_model import U2CausalLM
+    from .parallel.mesh import make_mesh
+    from .train.loop import MetricLogger, run_training
+    from .train.sft import make_optimizer, make_sharded_trainer
+
+    cfg = _load_model_config(args)
+    tokenizer = _load_tokenizer(args.tokenizer)
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate, num_epochs=args.epochs,
+        per_device_batch_size=args.batch_size, model_max_length=args.max_length,
+        output_dir=args.output_dir, save_steps=args.save_steps,
+        max_steps=args.max_steps,
+        mesh=MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                        tensor=args.mesh_tensor))
+
+    ds = FusedDataset(
+        args.train_base_path, args.train_jsonl_path, tokenizer,
+        max_length=tcfg.model_max_length, image_tokens_num=cfg.proj_out_num,
+        data_type="training", num_chunks=cfg.num_chunks,
+        chunk_depth=cfg.vision.input_spatial[0],
+        target_size=cfg.vision.input_spatial[1])
+    global_batch = args.batch_size * tcfg.mesh.data * tcfg.mesh.fsdp
+    loader = DataLoader(ds, batch_size=global_batch, seed=tcfg.seed,
+                        num_workers=args.num_workers,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
+
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16 if tcfg.bf16 else jnp.float32,
+                       remat=tcfg.remat)
+    mesh = make_mesh(tcfg.mesh)
+    steps_per_epoch = len(loader)
+    total = tcfg.max_steps or int(steps_per_epoch * tcfg.num_epochs)
+    tx = make_optimizer(tcfg, total)
+
+    sample = next(iter(loader))
+    trainable = None
+    if args.freeze_vision_tower:
+        trainable = lambda p: "vision_tower" not in p
+    state, train_step, batch_shardings = make_sharded_trainer(
+        model, tx, mesh, jax.random.PRNGKey(tcfg.seed), sample, trainable)
+
+    if args.pretrained:
+        state = _load_pretrained_into_state(args.pretrained, cfg, state)
+
+    logger = MetricLogger(tcfg.output_dir, use_wandb=args.wandb,
+                          wandb_project=args.wandb_project)
+    run_training(tcfg, state, train_step, lambda epoch: iter(loader),
+                 batch_shardings, steps_per_epoch=steps_per_epoch,
+                 logger=logger)
+    print("training complete", file=sys.stderr)
+
+
+def _load_pretrained_into_state(path, cfg, state):
+    """Load converted HF/u2 weights into the initialized TrainState."""
+    from .models.hf_weights import (convert_u2_checkpoint, load_safetensors_dir,
+                                    load_torch_bin)
+
+    if os.path.isdir(path):
+        sd = load_safetensors_dir(path)
+    else:
+        sd = load_torch_bin(path)
+    params = convert_u2_checkpoint(sd, cfg)
+    return state.replace(params=params)
+
+
+# ---------------------------------------------------------------------------
+# dpo
+# ---------------------------------------------------------------------------
+
+def cmd_dpo(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import DPOConfig, TrainConfig
+    from .data.datasets import FusedDataset
+    from .data.transforms import U2VolumeTransform
+    from .models.u2_model import U2CausalLM
+    from .train.dpo import collate_preference_batch, make_dpo_train_step
+    from .train.loop import MetricLogger
+    from .train.sft import TrainState, make_optimizer
+
+    cfg = _load_model_config(args)
+    tokenizer = _load_tokenizer(args.tokenizer)
+    dcfg = DPOConfig(beta=args.beta, learning_rate=args.learning_rate)
+    tcfg = TrainConfig(learning_rate=args.learning_rate,
+                       output_dir=args.output_dir)
+
+    ds = FusedDataset(
+        args.train_base_path, args.train_jsonl_path, tokenizer,
+        max_length=dcfg.max_prompt_length, image_tokens_num=cfg.proj_out_num,
+        data_type="training", dpo_mode=True, return_image=False)
+    transform = U2VolumeTransform(
+        data_type="training", target_size=cfg.vision.input_spatial[1],
+        chunk_depth=cfg.vision.input_spatial[0], num_chunks=cfg.num_chunks)
+
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16, remat=True)
+    total = args.max_steps or (len(ds) // args.batch_size) * int(args.epochs)
+    tx = make_optimizer(tcfg, total)
+
+    first = collate_preference_batch(
+        [ds[i] for i in range(args.batch_size)], tokenizer,
+        dcfg.max_prompt_length, dcfg.max_completion_length, transform)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.asarray(first["input_ids"][:1]),
+                        jnp.asarray(first["images"][:1]),
+                        jnp.asarray(first["question_ids"][:1]))
+    if args.pretrained:
+        from .train.sft import TrainState as TS
+
+        tmp = TS(step=jnp.zeros((), jnp.int32), params=params, opt_state=None)
+        params = _load_pretrained_into_state(args.pretrained, cfg, tmp).params
+    ref_params = jax.tree_util.tree_map(lambda x: x, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step_fn = jax.jit(make_dpo_train_step(model, tx, dcfg))
+
+    logger = MetricLogger(tcfg.output_dir)
+    step = 0
+    for epoch in range(int(args.epochs)):
+        order = np.random.default_rng(epoch).permutation(len(ds))
+        for i in range(0, len(order) - args.batch_size + 1, args.batch_size):
+            samples = [ds[int(j)] for j in order[i:i + args.batch_size]]
+            batch = collate_preference_batch(
+                samples, tokenizer, dcfg.max_prompt_length,
+                dcfg.max_completion_length, transform)
+            state, metrics = step_fn(state, ref_params,
+                                     {k: jnp.asarray(v) for k, v in batch.items()})
+            step += 1
+            if step % 10 == 0:
+                logger.log(step, {k: float(np.asarray(v))
+                                  for k, v in metrics.items()})
+            if args.max_steps and step >= args.max_steps:
+                break
+    print("dpo complete", file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# generate / green / dpo-convert
+# ---------------------------------------------------------------------------
+
+def cmd_generate(args):
+    """CT volumes -> predictions jsonl (pred_then_green.py generate parity:
+    n samples per case with a validity filter)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import GenerationConfig
+    from .data.datasets import FusedDataset
+    from .models.generate import make_multimodal_generate_fn
+    from .models.u2_model import U2CausalLM
+
+    cfg = _load_model_config(args)
+    tokenizer = _load_tokenizer(args.tokenizer)
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16)
+
+    ds = FusedDataset(
+        args.base_path, args.jsonl_path, tokenizer,
+        max_length=args.max_length, image_tokens_num=cfg.proj_out_num,
+        data_type="validation", num_chunks=cfg.num_chunks,
+        chunk_depth=cfg.vision.input_spatial[0],
+        target_size=cfg.vision.input_spatial[1])
+
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
+        top_p=args.top_p, eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id or 0)
+    gen_fn = make_multimodal_generate_fn(model, gen)
+
+    params = _init_or_load(args, model, cfg, ds)
+
+    out_path = args.output
+    rng = jax.random.PRNGKey(args.seed)
+    with open(out_path, "w") as f:
+        for idx in range(args.start, min(args.end, len(ds))):
+            s = ds[idx]
+            if s is None:
+                continue
+            preds = []
+            for k in range(args.num_samples):
+                rng, sub = jax.random.split(rng)
+                ids = jnp.asarray(s["input_id"][None])
+                toks = gen_fn(params, ids, jnp.asarray(s["image"][None]),
+                              jnp.asarray(s["question_ids"][None]),
+                              jnp.asarray([int(s["attention_mask"].sum())]),
+                              sub)
+                text = tokenizer.decode(
+                    [t for t in np.asarray(toks)[0]
+                     if t not in (gen.pad_token_id, tokenizer.eos_token_id)],
+                    skip_special_tokens=True)
+                if check_report_validity(text) or k == args.num_samples - 1:
+                    preds.append(text)
+            row = {"image": s["image_path"], "question": s["prompt_question"],
+                   "answer": s["answer"], "predictions": preds}
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+def check_report_validity(text: str, min_len: int = 20) -> bool:
+    """Reject CJK characters / too-short generations
+    (pred_then_green.py:97-103)."""
+    if len(text) < min_len:
+        return False
+    return not any("一" <= ch <= "鿿" for ch in text)
+
+
+def _init_or_load(args, model, cfg, ds):
+    import jax
+    import jax.numpy as jnp
+
+    s = None
+    for i in range(len(ds)):
+        s = ds[i]
+        if s is not None:
+            break
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(s["input_id"][None]),
+        jnp.asarray(s["image"][None]), jnp.asarray(s["question_ids"][None]))
+    if getattr(args, "checkpoint", None):
+        from .train.sft import TrainState
+
+        tmp = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                         opt_state=None)
+        params = _load_pretrained_into_state(args.checkpoint, cfg, tmp).params
+    return params
+
+
+def cmd_green(args):
+    """GREEN-score a predictions jsonl and sort samples best->worst
+    (pred_then_green.py evaluate parity)."""
+    from .data.datasets import load_jsonl
+    from .eval.green import GreenScorer
+
+    rows = load_jsonl(args.predictions)
+    judge = _build_judge(args)
+    scorer = GreenScorer(judge, compute_summary_stats=not args.no_summary,
+                         judge_name=args.judge or "stub")
+
+    with open(args.output, "w") as f:
+        for row in rows:
+            preds = row.get("predictions") or [row.get("prediction")]
+            result = scorer([row["answer"]] * len(preds), preds)
+            order = sorted(range(len(preds)),
+                           key=lambda i: -(result.scores[i] or 0.0))
+            row["predictions"] = [preds[i] for i in order]
+            row["green_scores"] = [result.scores[i] for i in order]
+            f.write(json.dumps(row) + "\n")
+    print(f"wrote {args.output}", file=sys.stderr)
+
+
+def _build_judge(args):
+    if args.judge is None:  # echo judge for pipeline testing
+        return lambda prompts: [
+            "[Explanation]:\nstub\n\n[Clinically Significant Errors]:\n"
+            "(a) False report of a finding in the candidate: 0.\n\n"
+            "[Matched Findings]:\n1. stub\n" for _ in prompts]
+    import jax.numpy as jnp
+
+    from .models.hf_weights import (convert_decoder, llm_config_from_hf,
+                                    load_safetensors_dir)
+    from .models.llm.decoder import CausalLM
+    from .eval.green import JaxJudge
+
+    hf_cfg = json.load(open(os.path.join(args.judge, "config.json")))
+    cfg = llm_config_from_hf(hf_cfg)
+    sd = load_safetensors_dir(args.judge)
+    params = {"params": convert_decoder(sd, cfg)}
+    model = CausalLM(cfg, dtype=jnp.bfloat16)
+    tokenizer = _load_tokenizer(args.judge)
+    return JaxJudge(model, params, tokenizer)
+
+
+def cmd_dpo_convert(args):
+    """greened jsonl -> DPO pairs {chosen=best, rejected=worst}, dropping
+    cases whose best score is 0 (src/utils/dpo_dataset_convert.py:6-30)."""
+    from .data.datasets import load_jsonl
+
+    rows = load_jsonl(args.greened)
+    n = 0
+    with open(args.output, "w") as f:
+        for row in rows:
+            preds = row.get("predictions", [])
+            scores = row.get("green_scores", [])
+            if not preds or not scores or not scores[0]:
+                continue
+            f.write(json.dumps({
+                "image": row["image"], "question": row["question"],
+                "answer": row["answer"], "chosen": preds[0],
+                "rejected": preds[-1]}) + "\n")
+            n += 1
+    print(f"wrote {n} pairs to {args.output}", file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# selftest
+# ---------------------------------------------------------------------------
+
+def cmd_selftest(args):
+    """Tiny end-to-end pipeline on synthetic data: build NIfTI volumes +
+    jsonl, train a few SFT steps, generate, GREEN-score, convert to DPO
+    pairs, run a DPO step. Exercises every stage without checkpoints."""
+    import tempfile
+
+    import numpy as np
+
+    tmp = tempfile.mkdtemp(prefix="u2selftest_")
+    rng = np.random.default_rng(0)
+    from .data.nifti import write_nifti
+
+    for i in range(2):
+        write_nifti(os.path.join(tmp, f"case{i}.nii.gz"),
+                    rng.uniform(-1000, 400, (40, 48, 36)).astype(np.float32))
+    with open(os.path.join(tmp, "train.jsonl"), "w") as f:
+        for i in range(2):
+            f.write(json.dumps({
+                "image": f"case{i}.nii.gz",
+                "question": "Please describe the findings",
+                "answer": f"The study {i} shows clear lungs and a normal heart"
+            }) + "\n")
+
+    ns = argparse.Namespace(
+        config=None, tiny=True, tokenizer=args.tokenizer,
+        train_base_path=tmp, train_jsonl_path="train.jsonl",
+        learning_rate=1e-4, epochs=1.0, batch_size=2, max_length=64,
+        output_dir=os.path.join(tmp, "out"), save_steps=1000, max_steps=2,
+        mesh_data=1, mesh_fsdp=1, mesh_tensor=1, num_workers=1,
+        freeze_vision_tower=False, pretrained=None, wandb=False,
+        wandb_project=None)
+    cmd_train(ns)
+
+    ns2 = argparse.Namespace(
+        config=None, tiny=True, tokenizer=args.tokenizer,
+        base_path=tmp, jsonl_path="train.jsonl", max_length=64,
+        max_new_tokens=8, do_sample=False, top_p=0.9, num_samples=2,
+        start=0, end=2, seed=0, checkpoint=None,
+        output=os.path.join(tmp, "preds.jsonl"))
+    cmd_generate(ns2)
+
+    ns3 = argparse.Namespace(
+        predictions=os.path.join(tmp, "preds.jsonl"), judge=None,
+        no_summary=True, output=os.path.join(tmp, "greened.jsonl"))
+    cmd_green(ns3)
+
+    ns4 = argparse.Namespace(greened=os.path.join(tmp, "greened.jsonl"),
+                             output=os.path.join(tmp, "dpo.jsonl"))
+    cmd_dpo_convert(ns4)
+    print(f"selftest artifacts in {tmp}")
+    print("SELFTEST OK")
+
+
+# ---------------------------------------------------------------------------
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="u2tokenizer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    _add_common(t)
+    t.add_argument("--tokenizer", required=True)
+    t.add_argument("--train-base-path", dest="train_base_path", required=True)
+    t.add_argument("--train-jsonl-path", dest="train_jsonl_path", required=True)
+    t.add_argument("--learning-rate", type=float, default=4e-6)
+    t.add_argument("--epochs", type=float, default=4.0)
+    t.add_argument("--batch-size", type=int, default=1)
+    t.add_argument("--max-length", type=int, default=1024)
+    t.add_argument("--output-dir", default="./output/u2-sft")
+    t.add_argument("--save-steps", type=int, default=2000)
+    t.add_argument("--max-steps", type=int, default=None)
+    t.add_argument("--mesh-data", type=int, default=1)
+    t.add_argument("--mesh-fsdp", type=int, default=1)
+    t.add_argument("--mesh-tensor", type=int, default=1)
+    t.add_argument("--num-workers", type=int, default=4)
+    t.add_argument("--freeze-vision-tower", action="store_true")
+    t.add_argument("--pretrained", default=None)
+    t.add_argument("--wandb", action="store_true")
+    t.add_argument("--wandb-project", default="AMOS-MM")
+    t.set_defaults(fn=cmd_train)
+
+    d = sub.add_parser("dpo")
+    _add_common(d)
+    d.add_argument("--tokenizer", required=True)
+    d.add_argument("--train-base-path", dest="train_base_path", required=True)
+    d.add_argument("--train-jsonl-path", dest="train_jsonl_path", required=True)
+    d.add_argument("--learning-rate", type=float, default=4e-6)
+    d.add_argument("--beta", type=float, default=0.1)
+    d.add_argument("--epochs", type=float, default=6.0)
+    d.add_argument("--batch-size", type=int, default=1)
+    d.add_argument("--output-dir", default="./output/u2-dpo")
+    d.add_argument("--max-steps", type=int, default=None)
+    d.add_argument("--pretrained", default=None)
+    d.set_defaults(fn=cmd_dpo)
+
+    g = sub.add_parser("generate")
+    _add_common(g)
+    g.add_argument("--tokenizer", required=True)
+    g.add_argument("--base-path", dest="base_path", required=True)
+    g.add_argument("--jsonl-path", dest="jsonl_path", required=True)
+    g.add_argument("--checkpoint", default=None)
+    g.add_argument("--output", required=True)
+    g.add_argument("--max-length", type=int, default=1024)
+    g.add_argument("--max-new-tokens", type=int, default=768)
+    g.add_argument("--do-sample", action="store_true")
+    g.add_argument("--top-p", type=float, default=0.9)
+    g.add_argument("--num-samples", type=int, default=8)
+    g.add_argument("--start", type=int, default=0)
+    g.add_argument("--end", type=int, default=10**9)
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=cmd_generate)
+
+    gr = sub.add_parser("green")
+    gr.add_argument("--predictions", required=True)
+    gr.add_argument("--judge", default=None,
+                    help="HF checkpoint dir of the judge LLM (GREEN-RadLlama2)")
+    gr.add_argument("--output", required=True)
+    gr.add_argument("--no-summary", action="store_true")
+    gr.set_defaults(fn=cmd_green)
+
+    dc = sub.add_parser("dpo-convert")
+    dc.add_argument("--greened", required=True)
+    dc.add_argument("--output", required=True)
+    dc.set_defaults(fn=cmd_dpo_convert)
+
+    st = sub.add_parser("selftest")
+    st.add_argument("--tokenizer", default=None,
+                    help="HF tokenizer dir; omit to use the built-in mock")
+    st.set_defaults(fn=cmd_selftest)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

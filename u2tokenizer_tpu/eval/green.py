@@ -1,0 +1,338 @@
+"""GREEN scorer: LLM-as-judge report evaluation.
+
+Behavioral rebuild of green_refactored/green.py:200-460:
+
+  * ``make_green_prompt`` — the judge prompt (utils.py:318-332), verbatim
+    format contract (the parser depends on it).
+  * ``parse_error_counts`` — regex extraction of per-category error counts,
+    handling the (a)-(f) and (1)-(6) judge output variants and "No ..."
+    responses (green.py:326-366).
+  * ``compute_green`` — matched / (matched + Σ significant errors), 0 when no
+    matches (green.py:314-324).
+  * Summary statistics: per-subcategory accuracy + representative error
+    sentences by k-means clustering with silhouette model selection
+    (green.py:412-460; embeddings here are TF-IDF instead of the reference's
+    sentence-transformers checkpoint, which requires a model download).
+
+The judge LLM is pluggable: any ``complete(prompts) -> responses`` callable.
+``JaxJudge`` runs a converted HF checkpoint (e.g. GREEN-RadLlama2) on the
+framework's own decoder; an OpenAI-protocol client covers hosted judges.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+CATEGORIES = (
+    "Clinically Significant Errors",
+    "Clinically Insignificant Errors",
+    "Matched Findings",
+)
+
+SUB_CATEGORIES = (
+    "(a) False report of a finding in the candidate",
+    "(b) Missing a finding present in the reference",
+    "(c) Misidentification of a finding's anatomic location/position",
+    "(d) Misassessment of the severity of a finding",
+    "(e) Mentioning a comparison that isn't in the reference",
+    "(f) Omitting a comparison detailing a change from a prior study",
+)
+
+
+def make_green_prompt(reference: str, candidate: str, max_len: int = 300) -> str:
+    """The GREEN judge prompt (utils.py:318-332). The exact output-format
+    section is a contract with ``parse_error_counts``."""
+    reference = " ".join(reference.split()[:max_len])
+    candidate = " ".join(candidate.split()[:max_len])
+    return (
+        "Objective: Evaluate the accuracy of a candidate radiology report in "
+        "comparison to a reference radiology report composed by expert "
+        "radiologists.\n\n    Process Overview: You will be presented with:\n\n"
+        "    1. The criteria for making a judgment.\n"
+        "    2. The reference radiology report.\n"
+        "    3. The candidate radiology report.\n"
+        "    4. The desired format for your assessment.\n\n"
+        "    1. Criteria for Judgment:\n\n    For each candidate report, "
+        "determine:\n\n    The count of clinically significant errors.\n"
+        "    The count of clinically insignificant errors.\n\n"
+        "    Errors can fall into one of these categories:\n\n"
+        "    a) False report of a finding in the candidate.\n"
+        "    b) Missing a finding present in the reference.\n"
+        "    c) Misidentification of a finding's anatomic location/position.\n"
+        "    d) Misassessment of the severity of a finding.\n"
+        "    e) Mentioning a comparison that isn't in the reference.\n"
+        "    f) Omitting a comparison detailing a change from a prior study.\n"
+        "    Note: Concentrate on the clinical findings rather than the "
+        "report's writing style. Evaluate only the findings that appear in "
+        "both reports.\n\n"
+        f"    2. Reference Report:\n    {reference}\n\n"
+        f"    3. Candidate Report:\n    {candidate}\n\n"
+        "    4. Reporting Your Assessment:\n\n"
+        "    Follow this specific format for your output, even if no errors "
+        "are found:\n    ```\n    [Explanation]:\n    <Explanation>\n\n"
+        "    [Clinically Significant Errors]:\n"
+        "    (a) <Error Type>: <The number of errors>. <Error 1>; <Error 2>; "
+        "...; <Error n>\n    ....\n"
+        "    (f) <Error Type>: <The number of errors>. <Error 1>; <Error 2>; "
+        "...; <Error n>\n\n"
+        "    [Clinically Insignificant Errors]:\n"
+        "    (a) <Error Type>: <The number of errors>. <Error 1>; <Error 2>; "
+        "...; <Error n>\n    ....\n"
+        "    (f) <Error Type>: <The number of errors>. <Error 1>; <Error 2>; "
+        "...; <Error n>\n\n"
+        "    [Matched Findings]:\n"
+        "    <The number of matched findings>. <Finding 1>; <Finding 2>; ...; "
+        "<Finding n>\n    ```\n"
+    )
+
+
+def clean_response(response: str) -> str:
+    """Strip everything before the final assessment block (the judge may echo
+    the prompt); keep from the last '[Explanation]:' on
+    (utils.py clean_responses behavior)."""
+    marker = "[Explanation]:"
+    if response.count(marker) > 1:
+        response = response[response.rindex(marker):]
+    for fence in ("```", "<|im_end|>", "</s>"):
+        response = response.replace(fence, "")
+    return response.strip()
+
+
+def parse_error_counts(text: str, category: str,
+                       for_reward: bool = False) -> Tuple[Optional[int], Optional[List[int]]]:
+    """(sum, per-subcategory counts) for one category (green.py:326-366)."""
+    if category not in CATEGORIES:
+        raise ValueError(f"Category {category} is not valid: {CATEGORIES}")
+
+    pattern = rf"\[{category}\]:\s*(.*?)(?:\n\s*\n|\Z)"
+    m = re.search(pattern, text, re.DOTALL)
+
+    sum_counts = 0
+    sub_counts = [0] * 6
+    if not m:
+        if for_reward:
+            return None, None
+        return sum_counts, sub_counts
+    body = m.group(1)
+    if body.startswith("No"):
+        return sum_counts, sub_counts
+
+    if category == "Matched Findings":
+        counts = re.findall(r"^\b\d+\b(?=\.)", body)
+        if counts:
+            sum_counts = int(counts[0])
+        return sum_counts, sub_counts
+
+    labels = [s.split(" ", 1)[0] + " " for s in SUB_CATEGORIES]
+    matches = sorted(re.findall(r"\([a-f]\) .*", body))
+    if not matches:
+        matches = sorted(re.findall(r"\([1-6]\) .*", body))
+        labels = [f"({i}) " for i in range(1, 7)]
+    for pos, label in enumerate(labels):
+        for match in matches:
+            if match.startswith(label):
+                count = re.findall(r"(?<=: )\b\d+\b(?=\.)", match)
+                if count:
+                    sub_counts[pos] = int(count[0])
+    return sum(sub_counts), sub_counts
+
+
+def parse_error_sentences(response: str, category: str) -> Dict[str, List[str]]:
+    """Per-subcategory error sentences (green.py:368-407)."""
+    pattern = rf"\[{category}\]:\s*(.*?)(?:\n\s*\n|\Z)"
+    m = re.search(pattern, response, re.DOTALL)
+    out: Dict[str, List[str]] = {s: [] for s in SUB_CATEGORIES}
+    if not m or m.group(1).startswith("No"):
+        return out
+    body = m.group(1)
+    labels = [s.split(" ", 1)[0] + " " for s in SUB_CATEGORIES]
+    matches = sorted(re.findall(r"\([a-f]\) .*", body))
+    if not matches:
+        matches = sorted(re.findall(r"\([1-6]\) .*", body))
+        labels = [f"({i}) " for i in range(1, 7)]
+    for pos, label in enumerate(labels):
+        for match in matches:
+            if match.startswith(label):
+                out[SUB_CATEGORIES[pos]] = (
+                    match.rsplit(":", 1)[-1].split(".", 1)[-1].split(";"))
+    return out
+
+
+def compute_green(response: str) -> Optional[float]:
+    """matched / (matched + Σ significant); 0 if no matched findings."""
+    sig_present, sig_errors = parse_error_counts(response, CATEGORIES[0])
+    matched, _ = parse_error_counts(response, CATEGORIES[2])
+    if matched == 0:
+        return 0.0
+    if sig_present is None or matched is None:
+        return None
+    return matched / (matched + sum(sig_errors))
+
+
+def compute_error_count(response: str) -> List[int]:
+    _, sig = parse_error_counts(response, CATEGORIES[0])
+    matched, _ = parse_error_counts(response, CATEGORIES[2])
+    return list(sig) + [matched]
+
+
+# ---------------------------------------------------------------------------
+# representative-sentence clustering (green.py:412-430, utils.py:133-180)
+# ---------------------------------------------------------------------------
+
+def _tfidf_embed(sentences: List[str]) -> np.ndarray:
+    from sklearn.feature_extraction.text import TfidfVectorizer
+
+    return TfidfVectorizer().fit_transform(sentences).toarray()
+
+
+def compute_largest_cluster(sentences: List[str]):
+    """k-means with silhouette-selected k; returns (embeddings, sentences of
+    the largest cluster). TF-IDF embeddings replace the reference's
+    sentence-transformers checkpoint (requires download)."""
+    if len(sentences) == 0:
+        return None, []
+    if len(sentences) == 1:
+        return None, sentences
+    from sklearn.cluster import KMeans
+    from sklearn.metrics import silhouette_score
+
+    emb = _tfidf_embed(sentences)
+    best_k, best_score, best_labels = 2, -1.0, None
+    for k in range(2, min(len(sentences), 9)):
+        km = KMeans(n_clusters=k, n_init=10, random_state=0).fit(emb)
+        if len(set(km.labels_)) < 2:
+            continue
+        try:
+            score = silhouette_score(emb, km.labels_)
+        except ValueError:
+            continue
+        if score > best_score:
+            best_k, best_score, best_labels = k, score, km.labels_
+    if best_labels is None:
+        return emb, sentences
+    counts = np.bincount(best_labels)
+    largest = int(np.argmax(counts))
+    return emb, [s for s, l in zip(sentences, best_labels) if l == largest]
+
+
+# ---------------------------------------------------------------------------
+# scorer driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GreenResult:
+    mean: float
+    std: float
+    scores: List[Optional[float]]
+    summary: str
+    rows: List[dict] = field(default_factory=list)
+
+
+class GreenScorer:
+    """GREEN(refs, hyps) — judge, parse, score, summarize."""
+
+    def __init__(self, judge: Callable[[Sequence[str]], Sequence[str]],
+                 compute_summary_stats: bool = True,
+                 judge_name: str = "judge"):
+        self.judge = judge
+        self.compute_summary_stats = compute_summary_stats
+        self.judge_name = judge_name
+
+    def __call__(self, refs: Sequence[str], hyps: Sequence[str]) -> GreenResult:
+        import time
+
+        t0 = time.time()
+        prompts = [make_green_prompt(r, h) for r, h in zip(refs, hyps)]
+        responses = [clean_response(r) for r in self.judge(prompts)]
+        scores = [compute_green(r) for r in responses]
+        valid = [s for s in scores if s is not None]
+        mean = float(np.mean(valid)) if valid else 0.0
+        std = float(np.std(valid)) if valid else 0.0
+
+        rows = [{"reference": r, "prediction": h, "response": resp,
+                 "green": s, "error_counts": compute_error_count(resp)}
+                for r, h, resp, s in zip(refs, hyps, responses, scores)]
+
+        summary = ""
+        if self.compute_summary_stats:
+            summary = self._summary(responses, mean, std)
+        print(f"Seconds per example: {(time.time() - t0) / max(len(refs), 1)}")
+        return GreenResult(mean, std, scores, summary, rows)
+
+    def _summary(self, responses: List[str], mean: float, std: float) -> str:
+        counts = np.array([
+            parse_error_counts(r, CATEGORIES[0])[1] for r in responses])
+        sentences_per_sub: Dict[str, List[str]] = {s: [] for s in SUB_CATEGORIES}
+        for r in responses:
+            for sub, sents in parse_error_sentences(r, CATEGORIES[0]).items():
+                sentences_per_sub[sub].extend(
+                    s for s in sents if s.strip())
+        summary = (
+            f"\n-------------{self.judge_name}----------------\n"
+            f" [Summary]: Green average {mean} and standard deviation {std} \n"
+            " [Clinically Significant Errors Analyses]: <accuracy>. "
+            "<representative error>\n\n")
+        for i, sub in enumerate(SUB_CATEGORIES):
+            accuracy = float(np.mean(counts[:, i] == 0)) if len(counts) else 1.0
+            _, rep = compute_largest_cluster(sentences_per_sub[sub])
+            summary += f"{sub}: {accuracy}. \n {rep} \n\n"
+        summary += "----------------------------------\n"
+        return summary
+
+
+class JaxJudge:
+    """Judge backend on the framework's own decoder stack (text-only
+    generate), batched (reference batch_size=4, green.py:211)."""
+
+    def __init__(self, model, params, tokenizer, batch_size: int = 4,
+                 max_length: int = 2048, max_new_tokens: int = 600):
+        import jax
+        import jax.numpy as jnp
+
+        from ..config import GenerationConfig
+        from ..models.generate import make_generate_fn
+
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self._jnp = jnp
+        self._jax = jax
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens, do_sample=False,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id or 0)
+        self.gen_cfg = gen
+        self._gen = jax.jit(make_generate_fn(model, gen))
+
+    def __call__(self, prompts: Sequence[str]) -> List[str]:
+        jnp, jax = self._jnp, self._jax
+        out: List[str] = []
+        bs = self.batch_size
+        for i in range(0, len(prompts), bs):
+            chunk = list(prompts[i:i + bs])
+            pad_to = bs - len(chunk)
+            chunk += [chunk[-1]] * pad_to
+            enc = [self.tokenizer(p)["input_ids"][: self.max_length]
+                   for p in chunk]
+            maxlen = self.max_length
+            ids = np.full((bs, maxlen), self.gen_cfg.pad_token_id, np.int32)
+            lens = np.zeros((bs,), np.int32)
+            for j, e in enumerate(enc):
+                ids[j, : len(e)] = e
+                lens[j] = len(e)
+            embeds = self.model.apply(self.params, jnp.asarray(ids),
+                                      method=type(self.model).embed_tokens)
+            toks = np.asarray(self._gen(self.params, embeds,
+                                        jnp.asarray(lens), jax.random.PRNGKey(0)))
+            for j in range(len(prompts[i:i + bs])):
+                text = self.tokenizer.decode(
+                    [t for t in toks[j] if t != self.gen_cfg.pad_token_id],
+                    skip_special_tokens=True)
+                out.append(text)
+        return out

@@ -27,11 +27,14 @@ from .u2_model import U2CausalLM, causal_padding_mask
 
 
 def make_generate_fn(
-    model: U2CausalLM,
+    model,
     gen: GenerationConfig,
     cache_dtype=jnp.bfloat16,
 ) -> Callable:
     """Build a jittable generate(params, inputs_embeds, prompt_len, rng).
+
+    ``model`` is any module exposing forward_embeds/embed_tokens/decode_step
+    (U2CausalLM or a bare CausalLM, e.g. a GREEN judge).
 
     Args:
       inputs_embeds: (B, S, E) right-padded prompt embeddings.
@@ -41,7 +44,7 @@ def make_generate_fn(
     Returns:
       (B, max_new_tokens) int32 generated ids, pad-filled after EOS.
     """
-    llm_cfg = model.cfg.llm
+    llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
 
     def generate(params, inputs_embeds, prompt_len, rng):
         b, s, _ = inputs_embeds.shape
@@ -55,7 +58,7 @@ def make_generate_fn(
         logits, _, cache = model.apply(
             params, inputs_embeds, attention_mask=None, cache=cache,
             write_index=jnp.int32(0), positions=positions, mask=mask,
-            method=U2CausalLM.forward_embeds)
+            method="forward_embeds")
         last = jnp.take_along_axis(
             logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]  # (B, V)
         rng, sub = jax.random.split(rng)
@@ -69,14 +72,14 @@ def make_generate_fn(
             cache, tok, done, rng = carry
             rng, sub = jax.random.split(rng)
             emb = model.apply(params, tok[:, None],
-                              method=U2CausalLM.embed_tokens)
+                              method="embed_tokens")
             pos = (prompt_len + i)[:, None].astype(jnp.int32)
             key_ok = (kv_pos[None, :] < prompt_len[:, None]) | (
                 (kv_pos[None, :] >= s) & (kv_pos[None, :] <= s + i))
             mask = key_ok[:, None, None, :]
             logits, _, cache = model.apply(
                 params, emb, pos, mask, cache, jnp.int32(s) + i,
-                method=U2CausalLM.decode_step)
+                method="decode_step")
             nxt = sample(sub, logits[:, 0], do_sample=gen.do_sample,
                          temperature=gen.temperature, top_p=gen.top_p)
             nxt = jnp.where(done, jnp.int32(gen.pad_token_id), nxt)
@@ -108,7 +111,7 @@ def make_multimodal_generate_fn(
 
     def generate(params, input_ids, images, question_ids, prompt_len, rng):
         embeds = model.apply(params, input_ids, images, question_ids,
-                             method=U2CausalLM.prepare_inputs_embeds)
+                             method="prepare_inputs_embeds")
         return gen_fn(params, embeds, prompt_len, rng)
 
     if jit:

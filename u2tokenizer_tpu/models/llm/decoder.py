@@ -216,6 +216,23 @@ class CausalLM(nn.Module):
     def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.model.embed(input_ids)
 
+    def forward_embeds(self, inputs_embeds, attention_mask=None, cache=None,
+                       write_index=None, positions=None, mask=None):
+        """Generation-compatible entry (same surface as
+        U2CausalLM.forward_embeds) for text-only models, e.g. GREEN judges."""
+        b, s, _ = inputs_embeds.shape
+        if mask is None:
+            causal = jnp.tril(jnp.ones((s, s), dtype=bool))[None, None]
+            if attention_mask is not None:
+                causal = causal & attention_mask[:, None, None, :].astype(bool)
+            mask = causal
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        return self(inputs_embeds, positions, mask, cache, write_index)
+
+    def decode_step(self, token_embeds, positions, mask, cache, write_index):
+        return self(token_embeds, positions, mask, cache, write_index)
+
     def __call__(
         self,
         inputs_embeds: jnp.ndarray,

@@ -1,0 +1,126 @@
+"""Device mesh construction and sharding rules.
+
+TPU-native replacement for the reference's accelerate/DeepSpeed/NCCL stack
+(SURVEY.md §2.7): DDP -> the 'data' mesh axis, ZeRO-1/3 -> parameter/optimizer
+sharding over 'fsdp', vLLM-style tensor parallelism -> megatron TP rules over
+'tensor'. XLA inserts all collectives (psum/all-gather/reduce-scatter) from
+the NamedSharding annotations; there is no hand-written communication on the
+training path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices=None) -> Mesh:
+    """Create a (data, fsdp, tensor) mesh. With no config, put all devices
+    on the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if cfg is None:
+        cfg = MeshConfig(data=n)
+    assert cfg.num_devices == n, (
+        f"mesh {cfg} wants {cfg.num_devices} devices, have {n}")
+    arr = np.asarray(devices).reshape(cfg.data, cfg.fsdp, cfg.tensor)
+    return Mesh(arr, AXES)
+
+
+# ---------------------------------------------------------------------------
+# parameter sharding rules
+# ---------------------------------------------------------------------------
+
+# (regex over the flattened param path, PartitionSpec) — first match wins.
+# Decoder TP follows megatron: column-parallel in-projections, row-parallel
+# out-projections; everything also FSDP-shards its other matmul dim.
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # decoder embedding (vocab, hidden): shard vocab over fsdp, hidden over tensor
+    (r"embed_tokens$", P("fsdp", "tensor")),
+    # attention in-projections (hidden, heads*hd): column parallel
+    (r"(q_proj|k_proj|v_proj)/kernel$", P("fsdp", "tensor")),
+    # attention out-projection (heads*hd, hidden): row parallel
+    (r"o_proj/kernel$", P("tensor", "fsdp")),
+    # mlp
+    (r"(gate_proj|up_proj)/kernel$", P("fsdp", "tensor")),
+    (r"down_proj/kernel$", P("tensor", "fsdp")),
+    # lm head (hidden, vocab)
+    (r"lm_head/kernel$", P("tensor", "fsdp")),
+    # vision / projector / u2tokenizer dense kernels: FSDP over the input dim
+    (r"(qkv|out_proj|proj|mlp_fc1|mlp_fc2|wq|wk|wv|dense|score_net|"
+     r"projector_\d+|linear)/kernel$", P("fsdp", None)),
+    # position embeddings / query tokens are small — replicate (sharding their
+    # embed dim forces SPMD reshards against batch-sharded activations).
+)
+
+
+def param_pspec(path: str, ndim: int) -> P:
+    """PartitionSpec for a parameter given its flattened path and rank.
+    1D params (norm scales, biases) replicate."""
+    if ndim <= 1:
+        return P()
+    for pattern, spec in _PARAM_RULES:
+        if re.search(pattern, path):
+            if len([a for a in spec]) <= ndim:
+                # pad spec to rank on the left? specs above are written for
+                # the exact ranks used; guard anyway.
+                return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return "/".join(parts)
+
+
+def _fixed_pspec(mesh: Mesh, path: str, shape) -> P:
+    """Rule-derived PartitionSpec, divisibility-checked: any dimension not
+    divisible by its mesh axis falls back to replication on that axis."""
+    p = param_pspec(path, len(shape))
+    axes = list(p) + [None] * (len(shape) - len(list(p)))
+    fixed = []
+    for dim, ax in zip(shape, axes):
+        if ax is None:
+            fixed.append(None)
+        else:
+            size = (mesh.shape[ax] if isinstance(ax, str) else
+                    int(np.prod([mesh.shape[a] for a in ax])))
+            fixed.append(ax if dim % size == 0 else None)
+    return P(*fixed)
+
+
+def tree_shardings(mesh: Mesh, tree):
+    """NamedShardings for any pytree of arrays/ShapeDtypeStructs by applying
+    the param rules to each leaf's path. Works for params AND optimizer state:
+    optax mu/nu subtrees repeat the param paths, so the same rules apply;
+    scalars and unmatched leaves replicate."""
+
+    def spec_for(path, leaf):
+        return NamedSharding(mesh, _fixed_pspec(mesh, _path_str(path), leaf.shape))
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def param_shardings(mesh: Mesh, params):
+    return tree_shardings(mesh, params)
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch tensors: shard the leading batch dim over data x fsdp."""
+    return NamedSharding(mesh, P(("data", "fsdp"), *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,135 @@
+"""Training loop: SFT driver with sharded steps, checkpointing, logging.
+
+The orchestration layer the reference delegates to HF Trainer
+(src/train/train_stage1.py:411 u2Trainer.train). Epoch/step accounting,
+metric logging (stdout + jsonl; wandb/tensorboard optional), periodic orbax
+saves with auto-resume, and eval-time token accuracy
+(compute_metrics parity, train_stage1.py:138-152).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config import TrainConfig
+from .checkpoint import CheckpointManager
+from .sft import TrainState
+
+
+class MetricLogger:
+    """stdout + metrics.jsonl; hooks for wandb/tensorboard if present."""
+
+    def __init__(self, output_dir: str, use_wandb: bool = False,
+                 wandb_project: Optional[str] = None,
+                 wandb_run_name: Optional[str] = None):
+        os.makedirs(output_dir, exist_ok=True)
+        self._f = open(os.path.join(output_dir, "metrics.jsonl"), "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project=wandb_project, name=wandb_run_name)
+            except Exception as e:  # wandb genuinely optional
+                print(f"wandb unavailable ({e}); logging to jsonl only",
+                      file=sys.stderr)
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        record = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self._f.write(json.dumps(record) + "\n")
+        self._f.flush()
+        msg = " ".join(f"{k}={v:.5g}" for k, v in record.items() if k != "step")
+        print(f"[step {step}] {msg}", flush=True)
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def close(self):
+        self._f.close()
+
+
+def run_training(
+    cfg: TrainConfig,
+    state: TrainState,
+    train_step: Callable,
+    data_iter_fn: Callable[[int], Iterable[dict]],
+    batch_shardings=None,
+    steps_per_epoch: Optional[int] = None,
+    eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
+    eval_steps: Optional[int] = None,
+    logger: Optional[MetricLogger] = None,
+) -> TrainState:
+    """Run the SFT loop.
+
+    data_iter_fn(epoch) -> iterable of host batches; they are device_put with
+    batch_shardings. Auto-resumes from the latest checkpoint in
+    cfg.output_dir/checkpoints.
+    """
+    logger = logger or MetricLogger(cfg.output_dir)
+    ckpt = CheckpointManager(
+        os.path.join(cfg.output_dir, "checkpoints"),
+        save_total_limit=cfg.save_total_limit,
+        save_interval_steps=cfg.save_steps)
+
+    restored = ckpt.restore(jax.tree_util.tree_map(lambda x: x, state))
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(np.asarray(state.step))}", flush=True)
+
+    start_step = int(np.asarray(state.step))
+    total_steps = cfg.max_steps
+    if total_steps is None and steps_per_epoch is not None:
+        total_steps = int(steps_per_epoch * cfg.num_epochs)
+
+    step = start_step
+    t_last = time.time()
+    done = False
+    epoch = 0 if steps_per_epoch is None else start_step // max(steps_per_epoch, 1)
+    while not done:
+        for batch in data_iter_fn(epoch):
+            if batch_shardings is not None:
+                batch = jax.device_put(
+                    batch, {k: batch_shardings[k] for k in batch})
+            state, metrics = train_step(state, batch)
+            step += 1
+            if step % cfg.log_steps == 0:
+                metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                metrics["steps_per_s"] = cfg.log_steps / dt
+                t_last = time.time()
+                logger.log(step, metrics)
+            if eval_fn is not None and eval_steps and step % eval_steps == 0:
+                logger.log(step, {f"eval_{k}": v
+                                  for k, v in eval_fn(state).items()})
+            ckpt.save(step, state)
+            if total_steps is not None and step >= total_steps:
+                done = True
+                break
+        epoch += 1
+        if total_steps is None:  # epoch-bounded
+            if epoch >= cfg.num_epochs:
+                done = True
+
+    ckpt.save(step, state, force=True)
+    ckpt.close()
+    return state
+
+
+def evaluate_token_accuracy(model, loss_fn, state: TrainState,
+                            batches: Iterable[dict]) -> Dict[str, float]:
+    """Validation loss/accuracy (reference compute_metrics,
+    train_stage1.py:138-152)."""
+    losses, accs = [], []
+    for batch in batches:
+        _, metrics = loss_fn(state.params, batch)
+        losses.append(float(np.asarray(metrics["loss"])))
+        accs.append(float(np.asarray(metrics["token_accuracy"])))
+    return {"loss": float(np.mean(losses)) if losses else float("nan"),
+            "token_accuracy": float(np.mean(accs)) if accs else float("nan")}

@@ -1,0 +1,161 @@
+"""Stage-1 SFT: loss, optimizer, sharded train step.
+
+TPU-native rebuild of the reference training layer
+(src/train/train_stage1.py + HF Trainer + DeepSpeed ZeRO): optax AdamW with
+cosine schedule and linear warmup, label masking identical to the reference
+collator (-100 ignored), gradient remat in the decoder, and a single pjit'd
+train step whose parameter/optimizer sharding over the (data, fsdp, tensor)
+mesh subsumes DDP + ZeRO-1/3.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig, U2ModelConfig
+from ..models.u2_model import U2CausalLM
+from ..parallel.mesh import data_sharding, tree_shardings
+
+IGNORE_INDEX = -100  # label mask value (src/dataset/fused_dataset.py:180-186)
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Shifted causal LM loss with IGNORE_INDEX masking.
+
+    logits: (B, S, V); labels: (B, S). Predict labels[t+1] from logits[t]
+    (HF CausalLM shift semantics).
+    """
+    logits = logits[:, :-1]
+    targets = labels[:, 1:]
+    valid = targets != IGNORE_INDEX
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_logp = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    loss = -jnp.sum(tok_logp * valid) / jnp.maximum(jnp.sum(valid), 1)
+    acc = jnp.sum((jnp.argmax(logits, -1) == targets) & valid) / jnp.maximum(
+        jnp.sum(valid), 1)
+    return loss, acc
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
+    warmup = max(1, int(total_steps * cfg.warmup_ratio))
+    if cfg.lr_schedule == "cosine":
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, warmup, max(total_steps, warmup + 1))
+    elif cfg.lr_schedule == "constant":
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate, warmup),
+             optax.constant_schedule(cfg.learning_rate)], [warmup])
+    else:
+        raise ValueError(cfg.lr_schedule)
+    tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=cfg.weight_decay)
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
+    return tx
+
+
+def make_loss_fn(model: U2CausalLM):
+    def loss_fn(params, batch: Dict[str, jax.Array]):
+        logits, _, _ = model.apply(
+            params,
+            batch["input_ids"],
+            batch.get("images"),
+            batch.get("question_ids"),
+            attention_mask=batch.get("attention_mask"),
+        )
+        loss, acc = cross_entropy_loss(logits, batch["labels"])
+        return loss, {"loss": loss, "token_accuracy": acc}
+
+    return loss_fn
+
+
+def make_train_step(model: U2CausalLM, tx: optax.GradientTransformation,
+                    trainable_filter=None):
+    """Build train_step(state, batch) -> (state, metrics).
+
+    trainable_filter: optional fn(path_str) -> bool; frozen params get zero
+    updates (reference freeze_vision_tower / freeze_backbone flags,
+    train_stage1.py:50,38).
+    """
+    loss_fn = make_loss_fn(model)
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.params, batch)
+        if trainable_filter is not None:
+            grads = _mask_grads(grads, trainable_filter)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt), metrics
+
+    return train_step
+
+
+def _mask_grads(grads, trainable_filter):
+    def mask(path, g):
+        pstr = "/".join(str(getattr(k, "key", k)) for k in path)
+        return g if trainable_filter(pstr) else jnp.zeros_like(g)
+
+    return jax.tree_util.tree_map_with_path(mask, grads)
+
+
+def init_train_state(model: U2CausalLM, tx, rng, sample_batch) -> TrainState:
+    params = model.init(rng, sample_batch["input_ids"],
+                        sample_batch.get("images"),
+                        sample_batch.get("question_ids"),
+                        attention_mask=sample_batch.get("attention_mask"))
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_sharded_trainer(model: U2CausalLM, tx, mesh: Mesh, rng,
+                         sample_batch, trainable_filter=None):
+    """Initialize the TrainState sharded over ``mesh`` and return
+    (state, jitted_train_step, batch_shardings).
+
+    The whole-state sharding is derived from the param rules (optimizer
+    mu/nu mirror the param layout automatically — ZeRO-style sharding for
+    free); batches shard their leading dim over data x fsdp. XLA lowers the
+    gradient psum / weight all-gathers onto ICI from these annotations.
+    """
+
+    def init_fn(rng):
+        params = model.init(rng, sample_batch["input_ids"],
+                            sample_batch.get("images"),
+                            sample_batch.get("question_ids"),
+                            attention_mask=sample_batch.get("attention_mask"))
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=tx.init(params))
+
+    state_abs = jax.eval_shape(init_fn, rng)
+    state_shardings = tree_shardings(mesh, state_abs)
+    state = jax.jit(init_fn, out_shardings=state_shardings)(rng)
+
+    batch_shardings = {
+        k: data_sharding(mesh, v.ndim) for k, v in sample_batch.items()}
+    train_step = make_train_step(model, tx, trainable_filter)
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(state_shardings, batch_shardings),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,),
+    )
+    return state, jitted, batch_shardings
