@@ -39,6 +39,11 @@ def log(*a):
 
 
 def main():
+    try:  # persistent compile cache (harmless if unsupported on this platform)
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from u2tokenizer_tpu.config import GenerationConfig, U2ModelConfig
     from u2tokenizer_tpu.models.generate import make_multimodal_generate_fn
     from u2tokenizer_tpu.models.u2_model import U2CausalLM

@@ -22,34 +22,9 @@ from u2tokenizer_tpu.data.transforms import (
 )
 
 
-class MockTokenizer:
-    """Whitespace tokenizer with an HF-compatible surface."""
-
-    pad_token_id = 0
-    eos_token_id = 1
-
-    def __init__(self):
-        self.vocab = {"<pad>": 0, "</s>": 1, "<im_patch>": 2}
-
-    def _id(self, w):
-        if w not in self.vocab:
-            self.vocab[w] = len(self.vocab)
-        return self.vocab[w]
-
-    def __call__(self, text, add_special_tokens=False, **kw):
-        words = []
-        # split out <im_patch> runs
-        rest = text
-        while "<im_patch>" in rest:
-            pre, rest = rest.split("<im_patch>", 1)
-            words.extend(pre.split())
-            words.append("<im_patch>")
-        words.extend(rest.split())
-        return {"input_ids": [self._id(w) for w in words]}
-
-    def apply_chat_template(self, messages, tokenize=False,
-                            add_generation_prompt=True):
-        return "<user> " + messages[0]["content"] + " <assistant>"
+from u2tokenizer_tpu.utils.mock_tokenizer import MockTokenizer  # noqa: F401
+# (the package mock is the single tokenizer test double; re-exported for
+# other test modules)
 
 
 @pytest.fixture()

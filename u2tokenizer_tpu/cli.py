@@ -356,6 +356,51 @@ def cmd_dpo_convert(args):
     print(f"wrote {n} pairs to {args.output}", file=sys.stderr)
 
 
+def cmd_eval(args):
+    """MRG / VQA evaluation drivers (eval/mrg.py, eval/vqa.py parity)."""
+    import jax.numpy as jnp
+
+    from .config import GenerationConfig
+    from .data.datasets import FusedDataset
+    from .eval.evaluators import ReportGenerator, evaluate_mrg, evaluate_vqa
+    from .eval.green import GreenScorer
+    from .models.generate import make_multimodal_generate_fn
+    from .models.u2_model import U2CausalLM
+
+    cfg = _load_model_config(args)
+    tokenizer = _load_tokenizer(args.tokenizer)
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16)
+    ds = FusedDataset(
+        args.base_path, args.jsonl_path, tokenizer,
+        max_length=args.max_length, image_tokens_num=cfg.proj_out_num,
+        data_type="validation", num_chunks=cfg.num_chunks,
+        chunk_depth=cfg.vision.input_spatial[0],
+        target_size=cfg.vision.input_spatial[1])
+    max_new = 1 if args.task == "vqa" else args.max_new_tokens
+    gen = GenerationConfig(max_new_tokens=max_new, do_sample=False,
+                           eos_token_id=tokenizer.eos_token_id,
+                           pad_token_id=tokenizer.pad_token_id or 0)
+    gen_fn = make_multimodal_generate_fn(model, gen)
+    params = _init_or_load(args, model, cfg, ds)
+    generator = ReportGenerator(model, params, tokenizer, gen_fn,
+                                pad_id=gen.pad_token_id,
+                                eos_id=tokenizer.eos_token_id)
+    if args.task == "vqa":
+        result = evaluate_vqa(ds, generator, max_cases=args.max_cases)
+    else:
+        scorer = None
+        if args.judge is not None:
+            judge_args = argparse.Namespace(judge=args.judge)
+            scorer = GreenScorer(_build_judge(judge_args),
+                                 compute_summary_stats=False,
+                                 judge_name=args.judge)
+        result = evaluate_mrg(ds, generator, scorer, max_cases=args.max_cases)
+    with open(args.output, "w") as f:
+        f.write(result.to_json())
+    print(json.dumps(result.metrics))
+    print(f"wrote {args.output}", file=sys.stderr)
+
+
 # ---------------------------------------------------------------------------
 # selftest
 # ---------------------------------------------------------------------------
@@ -484,6 +529,20 @@ def build_parser():
     dc.add_argument("--greened", required=True)
     dc.add_argument("--output", required=True)
     dc.set_defaults(fn=cmd_dpo_convert)
+
+    ev = sub.add_parser("eval")
+    _add_common(ev)
+    ev.add_argument("--task", choices=["mrg", "vqa"], default="mrg")
+    ev.add_argument("--tokenizer", required=True)
+    ev.add_argument("--base-path", dest="base_path", required=True)
+    ev.add_argument("--jsonl-path", dest="jsonl_path", required=True)
+    ev.add_argument("--checkpoint", default=None)
+    ev.add_argument("--judge", default=None)
+    ev.add_argument("--output", required=True)
+    ev.add_argument("--max-length", type=int, default=1024)
+    ev.add_argument("--max-new-tokens", type=int, default=768)
+    ev.add_argument("--max-cases", type=int, default=100)
+    ev.set_defaults(fn=cmd_eval)
 
     st = sub.add_parser("selftest")
     st.add_argument("--tokenizer", default=None,

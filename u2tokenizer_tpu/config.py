@@ -42,6 +42,7 @@ class VisionConfig:
     classification: bool = True  # adds a cls token (vit.py:108-112)
     select_layer: int = -1  # -1 = final LN output (vit.py:148-155)
     select_feature: str = "patch"  # strip cls token (vit.py:157-162)
+    use_flash_attention: bool = True  # Pallas kernel on TPU (ops/flash_attention.py)
 
     @property
     def input_spatial(self) -> Tuple[int, int, int]:
@@ -128,6 +129,7 @@ class LLMConfig:
     qk_norm: bool = True  # Qwen3 per-head q/k RMSNorm
     max_position_embeddings: int = 40960
     attention_bias: bool = False
+    use_flash_attention: bool = True  # Pallas prefill kernel on TPU
 
     @classmethod
     def qwen3_1_7b(cls, vocab_size: int = 151936) -> "LLMConfig":

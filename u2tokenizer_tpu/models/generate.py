@@ -58,7 +58,7 @@ def make_generate_fn(
         logits, _, cache = model.apply(
             params, inputs_embeds, attention_mask=None, cache=cache,
             write_index=jnp.int32(0), positions=positions, mask=mask,
-            method="forward_embeds")
+            lens=prompt_len.astype(jnp.int32), method="forward_embeds")
         last = jnp.take_along_axis(
             logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]  # (B, V)
         rng, sub = jax.random.split(rng)

@@ -26,6 +26,7 @@ from flax import struct
 
 from ...config import LLMConfig
 from ...ops.attention import gqa_sdpa
+from ...ops.flash_attention import flash_attention
 from ...ops.rotary import apply_rope, rope_cos_sin
 
 Dtype = Any
@@ -73,6 +74,7 @@ class Attention(nn.Module):
         mask: jnp.ndarray,                    # bool (B, 1, S, Sk)
         cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # (B, max, Hkv, D)
         write_index: Optional[jax.Array] = None,  # scalar int32: cache write offset
+        lens: Optional[jax.Array] = None,  # (B,) right-pad valid lengths
     ):
         cfg = self.cfg
         b, s, _ = x.shape
@@ -110,7 +112,16 @@ class Attention(nn.Module):
         else:
             k_att, v_att = k, v
 
-        out = gqa_sdpa(q, k_att, v_att, mask=mask)
+        # Pallas flash kernel on the prefill/training path: right-padded
+        # causal attention expressed as (lens, causal) instead of a mask.
+        use_flash = (cfg.use_flash_attention and lens is not None and s > 1
+                     and k_att.shape[1] == s
+                     and jax.default_backend() == "tpu")
+        if use_flash:
+            out = flash_attention(q, k_att, v_att, lens, causal=True,
+                                  block_q=256)
+        else:
+            out = gqa_sdpa(q, k_att, v_att, mask=mask)
         out = out.reshape(b, s, cfg.num_heads * hd)
         return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                         name="o_proj")(out), new_cache
@@ -138,10 +149,11 @@ class DecoderLayer(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, positions, mask, cache_kv=None, write_index=None):
+    def __call__(self, x, positions, mask, cache_kv=None, write_index=None,
+                 lens=None):
         y = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x)
         attn_out, new_cache = Attention(self.cfg, self.dtype, name="self_attn")(
-            y, positions, mask, cache_kv, write_index)
+            y, positions, mask, cache_kv, write_index, lens)
         x = x + attn_out
         y = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
                     name="post_attention_layernorm")(x)
@@ -179,12 +191,14 @@ class DecoderModel(nn.Module):
         mask: jnp.ndarray,                    # bool (B, 1, S, Sk)
         cache: Optional[KVCache] = None,
         write_index: Optional[jax.Array] = None,
+        lens: Optional[jax.Array] = None,
     ):
         x = inputs_embeds.astype(self.dtype)
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             cache_kv = None if cache is None else (cache.k[i], cache.v[i])
-            x, new_cache = layer(x, positions, mask, cache_kv, write_index)
+            x, new_cache = layer(x, positions, mask, cache_kv, write_index,
+                                 lens)
             if new_cache is not None:
                 new_k.append(new_cache[0])
                 new_v.append(new_cache[1])
@@ -217,18 +231,24 @@ class CausalLM(nn.Module):
         return self.model.embed(input_ids)
 
     def forward_embeds(self, inputs_embeds, attention_mask=None, cache=None,
-                       write_index=None, positions=None, mask=None):
+                       write_index=None, positions=None, mask=None, lens=None):
         """Generation-compatible entry (same surface as
-        U2CausalLM.forward_embeds) for text-only models, e.g. GREEN judges."""
+        U2CausalLM.forward_embeds) for text-only models, e.g. GREEN judges.
+
+        ``lens`` (right-padded valid lengths) routes prefill through the
+        Pallas flash kernel; derived from attention_mask when omitted
+        (batches are right-padded throughout the framework)."""
         b, s, _ = inputs_embeds.shape
         if mask is None:
             causal = jnp.tril(jnp.ones((s, s), dtype=bool))[None, None]
             if attention_mask is not None:
                 causal = causal & attention_mask[:, None, None, :].astype(bool)
+                if lens is None:
+                    lens = attention_mask.sum(-1).astype(jnp.int32)
             mask = causal
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-        return self(inputs_embeds, positions, mask, cache, write_index)
+        return self(inputs_embeds, positions, mask, cache, write_index, lens)
 
     def decode_step(self, token_embeds, positions, mask, cache, write_index):
         return self(token_embeds, positions, mask, cache, write_index)
@@ -240,9 +260,10 @@ class CausalLM(nn.Module):
         mask: jnp.ndarray,
         cache: Optional[KVCache] = None,
         write_index: Optional[jax.Array] = None,
+        lens: Optional[jax.Array] = None,
     ):
         hidden, out_cache = self.model(inputs_embeds, positions, mask,
-                                       cache, write_index)
+                                       cache, write_index, lens)
         if self.cfg.tie_word_embeddings:
             logits = hidden.astype(jnp.float32) @ jnp.transpose(
                 self.model.embed_tokens).astype(jnp.float32)

@@ -105,15 +105,20 @@ class U2CausalLM(nn.Module):
         return self.forward_embeds(embeds, attention_mask, cache, write_index)
 
     def forward_embeds(self, inputs_embeds, attention_mask=None, cache=None,
-                       write_index=None, positions=None, mask=None):
+                       write_index=None, positions=None, mask=None, lens=None):
         b, s, _ = inputs_embeds.shape
         if attention_mask is None and mask is None:
             attention_mask = jnp.ones((b, s), dtype=jnp.int32)
         if mask is None:
             mask = causal_padding_mask(attention_mask)
+            if lens is None and attention_mask is not None:
+                # batches are right-padded framework-wide; lens routes the
+                # prefill through the Pallas flash kernel
+                lens = attention_mask.sum(-1).astype(jnp.int32)
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-        return self.llm(inputs_embeds, positions, mask, cache, write_index)
+        return self.llm(inputs_embeds, positions, mask, cache, write_index,
+                        lens)
 
     # --- exposed submodule entry points (for apply(..., method=...)) ---
 

@@ -19,11 +19,13 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import VisionConfig
 from ..ops.attention import sdpa
+from ..ops.flash_attention import flash_attention
 
 Dtype = Any
 
@@ -61,6 +63,7 @@ class SelfAttentionBlock(nn.Module):
     num_heads: int
     qkv_bias: bool = False
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -72,7 +75,10 @@ class SelfAttentionBlock(nn.Module):
         # "b h (qkv l d) -> qkv b l h d" rearrange.
         qkv = qkv.reshape(b, s, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = sdpa(q, k, v).reshape(b, s, e)
+        if self.use_flash and jax.default_backend() == "tpu":
+            out = flash_attention(q, k, v, block_q=512).reshape(b, s, e)
+        else:
+            out = sdpa(q, k, v).reshape(b, s, e)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -84,12 +90,14 @@ class TransformerBlock(nn.Module):
     num_heads: int
     qkv_bias: bool = False
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + SelfAttentionBlock(self.hidden_size, self.num_heads,
-                                   self.qkv_bias, self.dtype, name="attn")(y)
+                                   self.qkv_bias, self.dtype,
+                                   self.use_flash, name="attn")(y)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
@@ -116,7 +124,8 @@ class ViT3D(nn.Module):
         for i in range(self.cfg.num_layers):
             x = TransformerBlock(
                 self.cfg.hidden_size, self.cfg.mlp_dim, self.cfg.num_heads,
-                self.cfg.qkv_bias, self.dtype, name=f"blocks_{i}")(x)
+                self.cfg.qkv_bias, self.dtype,
+                self.cfg.use_flash_attention, name=f"blocks_{i}")(x)
             hidden_states.append(x)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return x, hidden_states
