@@ -125,15 +125,29 @@ class U2VolumeTransform:
                  target_size: int = 256, chunk_depth: int = 32,
                  num_chunks: int = 8,
                  augment: Optional[AugmentConfig] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 use_native: bool = True):
         self.training = data_type in ("training", "train")
         self.target_size = target_size
         self.chunk_depth = chunk_depth
         self.num_chunks = num_chunks
         self.augment = augment or AugmentConfig()
         self.rng = np.random.default_rng(seed)
+        # validation path can run fully in the native C++ loader
+        # (augmentations keep the training path in Python where the RNG lives)
+        self.use_native = use_native and not self.training
 
     def __call__(self, path: str) -> np.ndarray:
+        if self.use_native:
+            try:
+                from .. import native
+
+                if native.native_available():
+                    return native.load_and_preprocess_native(
+                        path, self.target_size, self.chunk_depth,
+                        self.num_chunks)
+            except Exception:
+                pass  # fall through to the Python path
         vol = read_nifti(path)
         return self.from_array(vol)
 

@@ -1,0 +1,94 @@
+"""Native (C++) runtime components: ctypes bindings for the CT ingest
+library (nifti_loader.cpp). Falls back to the pure-Python path when the
+shared library hasn't been built — run native/build.sh to enable."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libu2native.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native library in place (g++ -O3 ... -lz)."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    script = os.path.join(os.path.dirname(__file__), "build.sh")
+    try:
+        subprocess.run(["sh", script], check=True, capture_output=True)
+        return True
+    except subprocess.CalledProcessError as e:
+        print(f"native build failed: {e.stderr.decode()[:500]}")
+        return False
+
+
+def get_lib(auto_build: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        if not (auto_build and build()):
+            return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.u2_load_nifti.restype = ctypes.c_int
+    lib.u2_load_nifti.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.u2_preprocess.restype = ctypes.c_int
+    lib.u2_preprocess.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+    lib.u2_load_and_preprocess.restype = ctypes.c_int
+    lib.u2_load_and_preprocess.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+    lib.u2_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return get_lib(auto_build=True) is not None
+
+
+def load_nifti_native(path: str) -> np.ndarray:
+    """Native NIfTI read -> (X, Y, Z) float32 (fortran voxel order)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    dims = (ctypes.c_int64 * 8)()
+    rc = lib.u2_load_nifti(path.encode(), ctypes.byref(out), dims)
+    if rc != 0:
+        raise IOError(f"u2_load_nifti({path}) failed with code {rc}")
+    x, y, z = dims[0], dims[1], dims[2]
+    arr = np.ctypeslib.as_array(out, shape=(z, y, x)).copy()
+    lib.u2_free(out)
+    # native buffer is fortran (x fastest) laid flat; as_array above read it
+    # as (z, y, x) row-major == same memory; transpose to (X, Y, Z)
+    return np.ascontiguousarray(arr.transpose(2, 1, 0)).astype(np.float32)
+
+
+def load_and_preprocess_native(path: str, target: int = 256,
+                               chunk_depth: int = 32,
+                               num_chunks: int = 8) -> np.ndarray:
+    """Fused native load+preprocess -> (num_chunks, chunk_depth, target, target)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = ctypes.POINTER(ctypes.c_float)()
+    rc = lib.u2_load_and_preprocess(path.encode(), target, chunk_depth,
+                                    num_chunks, ctypes.byref(out))
+    if rc != 0:
+        raise IOError(f"u2_load_and_preprocess({path}) failed with code {rc}")
+    shape = (num_chunks, chunk_depth, target, target)
+    arr = np.ctypeslib.as_array(out, shape=shape).copy()
+    lib.u2_free(out)
+    return arr
