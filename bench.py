@@ -29,7 +29,7 @@ import numpy as np
 
 A40_BASELINE_REPORTS_PER_MIN = 4.0  # estimated; see module docstring
 
-BATCH = 4
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "4"))
 PROMPT_LEN = 1024
 MAX_NEW_TOKENS = 768
 

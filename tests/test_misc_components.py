@@ -1,0 +1,182 @@
+"""Tests: AMOS/CT-RATE datasets, synthesis clients, profiling, distributed
+GREEN (single-process), demo CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from test_data import MockTokenizer
+
+from u2tokenizer_tpu.data.amos_ct_datasets import (
+    AMOSMRGDataset,
+    CTRateCapDataset,
+    adaptive_resize_file,
+    bulk_adaptive_resize,
+    ct_rate_volume_path,
+    linear_ingest,
+)
+from u2tokenizer_tpu.data.nifti import read_nifti, write_nifti
+from u2tokenizer_tpu.data.synthesis import (
+    generate_qa_pairs,
+    json_to_jsonl,
+    merge_jsonl,
+    rewrite_report,
+    split_thinking,
+    synthesize_dataset,
+)
+from u2tokenizer_tpu.eval.green import GreenScorer
+from u2tokenizer_tpu.eval.green_distributed import distributed_green
+from u2tokenizer_tpu.utils.profiling import StepTimer, param_count_report
+
+
+# --- synthesis ---
+
+def test_split_thinking():
+    t, a = split_thinking("<think>step by step</think>The answer is 4")
+    assert t == "step by step" and a == "The answer is 4"
+    t, a = split_thinking("plain answer")
+    assert t is None and a == "plain answer"
+
+
+def test_rewrite_and_qa_with_stub_backend():
+    def backend(prompt):
+        if "rewrite" in prompt.lower():
+            return "<think>ok</think>Rewritten report text."
+        return 'Here you go:\n[{"question": "Q1", "answer": "A1"},' \
+               ' {"question": "Q2", "answer": "A2"}]'
+
+    assert rewrite_report(backend, "original") == "Rewritten report text."
+    pairs = generate_qa_pairs(backend, "report", n=2)
+    assert [p["question"] for p in pairs] == ["Q1", "Q2"]
+
+    rows = [{"image": "a.nii.gz", "question": "q", "answer": "report text"}]
+    out = synthesize_dataset(backend, rows, ops=("rewrite", "qa"))
+    assert len(out) == 3  # 1 rewrite + 2 qa
+    assert out[0]["answer"] == "Rewritten report text."
+
+
+def test_jsonl_utils(tmp_path):
+    src = tmp_path / "x.json"
+    with open(src, "w") as f:
+        json.dump({"train": [{"a": 1}, {"a": 2}]}, f)
+    out1 = str(tmp_path / "x.jsonl")
+    json_to_jsonl(str(src), out1, key="train")
+    merged = str(tmp_path / "m.jsonl")
+    merge_jsonl([out1, out1], merged)
+    assert len(open(merged).read().strip().split("\n")) == 4
+
+
+# --- AMOS / CT-RATE ---
+
+@pytest.fixture()
+def amos_root(tmp_path):
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imagesTr"
+    img_dir.mkdir()
+    write_nifti(str(img_dir / "amos_0001.nii.gz"),
+                rng.uniform(-1000, 400, (48, 52, 20)).astype(np.float32))
+    ann = {"training": [
+        {"image": "imagesTr/amos_0001.nii.gz",
+         "labels": {"report": {"findings": {
+             "chest": "clear lungs", "abdomen": "", "pelvis": "normal"}}}},
+    ], "validation": [], "testing": []}
+    jp = tmp_path / "dataset.json"
+    with open(jp, "w") as f:
+        json.dump(ann, f)
+    return str(tmp_path), str(jp)
+
+
+def test_amos_mrg_dataset(amos_root):
+    base, jp = amos_root
+    ds = AMOSMRGDataset(base, jp, MockTokenizer(), 64, image_tokens_num=4,
+                        categorize=("findings", "chest"),
+                        data_type="training", seed=0)
+    s = ds[0]
+    assert s["answer"] == "clear lungs"
+    assert s["image"].shape == (1, 32, 256, 256)
+    assert s["body_part"] == "chest"
+    assert (s["label"] != -100).sum() > 0
+    with pytest.raises(ValueError):
+        AMOSMRGDataset(base, jp, MockTokenizer(), 64,
+                       categorize=("findings", "head"))
+
+
+def test_ct_rate_layout_and_dataset(tmp_path):
+    assert ct_rate_volume_path("train_17_2_3.nii.gz") == \
+        "train/train_17/train_17_2/train_17_2_3.nii.gz"
+    vol_dir = tmp_path / "train" / "train_9" / "train_9_1"
+    vol_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    write_nifti(str(vol_dir / "train_9_1_0.nii.gz"),
+                rng.uniform(-1000, 400, (40, 44, 16)).astype(np.float32))
+    ds = CTRateCapDataset(
+        str(tmp_path),
+        [{"VolumeName": "train_9_1_0.nii.gz", "question": "describe",
+          "answer": "all clear"}],
+        MockTokenizer(), 48, image_tokens_num=4, output_size=(8, 32, 32))
+    s = ds[0]
+    assert s["image"].shape == (1, 8, 32, 32)
+    assert s["answer"] == "all clear"
+    # missing volume -> None (collate drops it)
+    ds_bad = CTRateCapDataset(
+        str(tmp_path), [{"VolumeName": "train_9_1_9.nii.gz", "answer": "x"}],
+        MockTokenizer(), 48, image_tokens_num=4, output_size=(8, 32, 32))
+    assert ds_bad[0] is None
+
+
+def test_offline_resizer(tmp_path):
+    rng = np.random.default_rng(0)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    write_nifti(str(src_dir / "big.nii.gz"),
+                rng.uniform(0, 1, (64, 80, 10)).astype(np.float32))
+    n = bulk_adaptive_resize(str(src_dir), str(tmp_path / "dst"),
+                             target_image_size=32, num_workers=2)
+    assert n == 1
+    out = read_nifti(str(tmp_path / "dst" / "big.nii.gz"))
+    assert max(out.shape[0], out.shape[1]) == 32
+    assert out.shape[2] == 10
+
+
+# --- distributed GREEN (world size 1 path) ---
+
+def test_distributed_green_single_process():
+    from test_green import RESPONSE_LETTERS
+
+    scorer = GreenScorer(lambda prompts: [RESPONSE_LETTERS] * len(prompts),
+                         compute_summary_stats=False)
+    result = distributed_green(scorer, ["r1", "r2", "r3"], ["h1", "h2", "h3"])
+    assert len(result.scores) == 3
+    np.testing.assert_allclose(result.mean, 6 / 9)
+
+
+# --- profiling ---
+
+def test_step_timer():
+    t = StepTimer("train", warmup=1)
+    for _ in range(4):
+        with t:
+            pass
+    s = t.summary()
+    assert s["train_count"] == 3
+    assert s["train_mean_s"] >= 0
+
+
+def test_param_count_report():
+    import jax
+    import jax.numpy as jnp
+
+    from u2tokenizer_tpu.config import U2ModelConfig
+    from u2tokenizer_tpu.models.u2_model import U2CausalLM
+
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    d, h, w = cfg.vision.input_spatial
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                        jnp.zeros((1, cfg.num_chunks, d, h, w)),
+                        jnp.ones((1, 4), jnp.int32))
+    rep = param_count_report(params)
+    assert set(rep) >= {"llm", "vision_tower", "u2tokenizer", "total"}
+    assert rep["total"] == sum(v for k, v in rep.items() if k != "total")

@@ -405,6 +405,93 @@ def cmd_eval(args):
 # selftest
 # ---------------------------------------------------------------------------
 
+def cmd_demo(args):
+    """Interactive / one-shot report generation from a CT volume
+    (src/demo/demo.py:29-91 CLI demo; src/demo/online_demo.py is the gradio
+    variant, gated on the gradio package)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import GenerationConfig
+    from .data.transforms import U2VolumeTransform
+    from .models.generate import make_multimodal_generate_fn
+    from .models.u2_model import U2CausalLM
+
+    cfg = _load_model_config(args)
+    tokenizer = _load_tokenizer(args.tokenizer)
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16)
+
+    # volume: .npy (already preprocessed) or NIfTI
+    if args.image.endswith(".npy"):
+        image = np.load(args.image).astype(np.float32)
+        if image.ndim == 4 and image.shape[0] == 1:  # (1, D, H, W) linear mode
+            image = np.repeat(image, cfg.num_chunks, axis=0)
+    else:
+        t = U2VolumeTransform(
+            data_type="validation", target_size=cfg.vision.input_spatial[1],
+            chunk_depth=cfg.vision.input_spatial[0], num_chunks=cfg.num_chunks)
+        image = t(args.image)
+
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
+        top_p=args.top_p, eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id or 0)
+    gen_fn = make_multimodal_generate_fn(model, gen)
+
+    n_img = cfg.proj_out_num
+    max_len = args.max_length
+    rng = jax.random.PRNGKey(0)
+
+    def encode(question: str):
+        prompt = "<im_patch>" * n_img + question
+        if hasattr(tokenizer, "apply_chat_template"):
+            prompt = tokenizer.apply_chat_template(
+                [{"role": "user", "content": prompt}], tokenize=False,
+                add_generation_prompt=True)
+        ids = tokenizer(prompt, add_special_tokens=False)["input_ids"][:max_len]
+        input_id = np.full(max_len, tokenizer.pad_token_id or 0, np.int32)
+        input_id[: len(ids)] = ids
+        qids = tokenizer(question, add_special_tokens=False)["input_ids"][:64]
+        q = np.full(64, tokenizer.pad_token_id or 0, np.int32)
+        q[: len(qids)] = qids
+        return input_id, q, len(ids)
+
+    input_id0, q0, _ = encode("warmup")
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(input_id0[None]),
+                        jnp.asarray(image[None]), jnp.asarray(q0[None]))
+    if args.checkpoint:
+        from .train.sft import TrainState
+
+        tmp = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                         opt_state=None)
+        params = _load_pretrained_into_state(args.checkpoint, cfg, tmp).params
+
+    def answer(question: str) -> str:
+        nonlocal rng
+        input_id, q, plen = encode(question)
+        rng, sub = jax.random.split(rng)
+        toks = gen_fn(params, jnp.asarray(input_id[None]),
+                      jnp.asarray(image[None]), jnp.asarray(q[None]),
+                      jnp.asarray([plen], jnp.int32), sub)
+        out = [int(t) for t in np.asarray(toks)[0]
+               if t not in (tokenizer.pad_token_id, tokenizer.eos_token_id)]
+        return tokenizer.decode(out, skip_special_tokens=True)
+
+    if args.question:
+        print(answer(args.question))
+        return
+    print("u2 demo — type a question (empty line to exit)", file=sys.stderr)
+    while True:
+        try:
+            q = input("> ").strip()
+        except EOFError:
+            break
+        if not q:
+            break
+        print(answer(q))
+
+
 def cmd_selftest(args):
     """Tiny end-to-end pipeline on synthetic data: build NIfTI volumes +
     jsonl, train a few SFT steps, generate, GREEN-score, convert to DPO
@@ -529,6 +616,18 @@ def build_parser():
     dc.add_argument("--greened", required=True)
     dc.add_argument("--output", required=True)
     dc.set_defaults(fn=cmd_dpo_convert)
+
+    dm = sub.add_parser("demo")
+    _add_common(dm)
+    dm.add_argument("--tokenizer", default=None)
+    dm.add_argument("--image", required=True, help=".nii/.nii.gz/.npy volume")
+    dm.add_argument("--checkpoint", default=None)
+    dm.add_argument("--question", default=None, help="one-shot; omit for REPL")
+    dm.add_argument("--max-length", type=int, default=1024)
+    dm.add_argument("--max-new-tokens", type=int, default=256)
+    dm.add_argument("--do-sample", action="store_true")
+    dm.add_argument("--top-p", type=float, default=0.9)
+    dm.set_defaults(fn=cmd_demo)
 
     ev = sub.add_parser("eval")
     _add_common(ev)

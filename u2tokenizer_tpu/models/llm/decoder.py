@@ -34,20 +34,27 @@ Dtype = Any
 
 @struct.dataclass
 class KVCache:
-    """Per-model KV cache: k/v shaped (num_layers, B, max_len, n_kv, head_dim)."""
+    """Per-model KV cache: per-layer tuples of (B, max_len, n_kv, head_dim)
+    buffers. Per-layer buffers (instead of one stacked (L, ...) array) let
+    XLA alias each layer's dynamic_update_slice in place inside the decode
+    scan — a stacked cache forces slice+update+re-stack copies of the whole
+    cache every step."""
 
-    k: jax.Array
-    v: jax.Array
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
 
     @classmethod
     def create(cls, cfg: LLMConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(k=tuple(jnp.zeros(shape, dtype)
+                           for _ in range(cfg.num_layers)),
+                   v=tuple(jnp.zeros(shape, dtype)
+                           for _ in range(cfg.num_layers)))
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1]
 
 
 class RMSNorm(nn.Module):
@@ -205,7 +212,7 @@ class DecoderModel(nn.Module):
         x = self.norm_f(x)
         out_cache = None
         if cache is not None:
-            out_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+            out_cache = KVCache(k=tuple(new_k), v=tuple(new_v))
         return x, out_cache
 
 
