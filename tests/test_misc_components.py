@@ -180,3 +180,49 @@ def test_param_count_report():
     rep = param_count_report(params)
     assert set(rep) >= {"llm", "vision_tower", "u2tokenizer", "total"}
     assert rep["total"] == sum(v for k, v in rep.items() if k != "total")
+
+
+# --- inference wrapper (Lu2Model surface) ---
+
+def test_u2_inference_model_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from u2tokenizer_tpu.config import U2ModelConfig
+    from u2tokenizer_tpu.eval.inference import (
+        U2InferenceModel,
+        check_character_and_length,
+    )
+    from u2tokenizer_tpu.models.hf_export import save_hf_checkpoint
+    from u2tokenizer_tpu.models.u2_model import U2CausalLM
+
+    assert not check_character_and_length("too short")
+    assert not check_character_and_length("包含中文的输出应当被过滤掉" * 3)
+    assert check_character_and_length("a perfectly fine english report text")
+
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    d, h, w = cfg.vision.input_spatial
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 16), jnp.int32),
+                        jax.random.normal(rng, (1, cfg.num_chunks, d, h, w)),
+                        jnp.ones((1, 4), jnp.int32))
+    ckpt = str(tmp_path / "ckpt")
+    save_hf_checkpoint(ckpt, params, cfg)
+
+    wrapper = U2InferenceModel(
+        ckpt, tokenizer=MockTokenizer(), model_config=cfg,
+        dtype=jnp.float32, max_length=32, max_new_tokens=4, do_sample=False)
+    vol = np.random.default_rng(0).normal(
+        size=(cfg.num_chunks, d, h, w)).astype(np.float32)
+    out = wrapper.inference(vol, "describe the findings")
+    assert isinstance(out, str)
+
+
+def test_answer_validator():
+    from u2tokenizer_tpu.eval.inference import AnswerValidator
+
+    v = AnswerValidator(lambda p: "YES, it matches")
+    assert v("q", "a")
+    v2 = AnswerValidator(lambda p: "no")
+    assert not v2("q", "a")

@@ -33,6 +33,15 @@ def _hf_tiny(family):
             tie_word_embeddings=False, max_position_embeddings=256,
             attention_bias=False)
         return LlamaForCausalLM(cfg), cfg
+    if family == "phi2":
+        from transformers import PhiConfig, PhiForCausalLM
+        cfg = PhiConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+            partial_rotary_factor=0.5, rope_theta=10000.0,
+            layer_norm_eps=1e-5, tie_word_embeddings=False,
+            max_position_embeddings=256, pad_token_id=0)
+        return PhiForCausalLM(cfg), cfg
     if family == "phi3":
         from transformers import Phi3Config, Phi3ForCausalLM
         cfg = Phi3Config(
@@ -45,7 +54,7 @@ def _hf_tiny(family):
     raise ValueError(family)
 
 
-@pytest.mark.parametrize("family", ["qwen3", "llama", "phi3"])
+@pytest.mark.parametrize("family", ["qwen3", "llama", "phi3", "phi2"])
 def test_decoder_logits_parity(family):
     torch.manual_seed(0)
     hf_model, hf_cfg = _hf_tiny(family)

@@ -130,6 +130,13 @@ class LLMConfig:
     max_position_embeddings: int = 40960
     attention_bias: bool = False
     use_flash_attention: bool = True  # Pallas prefill kernel on TPU
+    # Phi-2-style architecture switches (GREEN-RadPhi2 judge, RadPhi-2 legacy)
+    parallel_block: bool = False       # attn and MLP both read one pre-LN
+    partial_rotary_factor: float = 1.0  # fraction of head_dim under RoPE
+    norm_type: str = "rmsnorm"         # rmsnorm | layernorm
+    mlp_type: str = "swiglu"           # swiglu | gelu
+    mlp_bias: bool = False
+    lm_head_bias: bool = False
 
     @classmethod
     def qwen3_1_7b(cls, vocab_size: int = 151936) -> "LLMConfig":
@@ -161,6 +168,21 @@ class LLMConfig:
             head_dim=96, rope_theta=10_000.0, rms_norm_eps=1e-5,
             tie_word_embeddings=False, qk_norm=False,
             max_position_embeddings=4096,
+        )
+
+    @classmethod
+    def phi2(cls, vocab_size: int = 51200) -> "LLMConfig":
+        """Phi-2 (GREEN-RadPhi2 judge base): parallel blocks, partial rotary,
+        LayerNorm, gelu MLP, biases everywhere."""
+        return cls(
+            model_type="phi2", vocab_size=vocab_size, hidden_size=2560,
+            intermediate_size=10240, num_layers=32, num_heads=32,
+            num_kv_heads=32, head_dim=80, rope_theta=10_000.0,
+            rms_norm_eps=1e-5, tie_word_embeddings=False, qk_norm=False,
+            max_position_embeddings=2048, attention_bias=True,
+            parallel_block=True, partial_rotary_factor=0.4,
+            norm_type="layernorm", mlp_type="gelu", mlp_bias=True,
+            lm_head_bias=True,
         )
 
     @classmethod

@@ -289,7 +289,8 @@ class JaxJudge:
     generate), batched (reference batch_size=4, green.py:211)."""
 
     def __init__(self, model, params, tokenizer, batch_size: int = 4,
-                 max_length: int = 2048, max_new_tokens: int = 600):
+                 max_length: int = 2048, max_new_tokens: int = 600,
+                 chat_format: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -308,12 +309,18 @@ class JaxJudge:
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id or 0)
         self.gen_cfg = gen
+        self.chat_format = chat_format
         self._gen = jax.jit(make_generate_fn(model, gen))
 
     def __call__(self, prompts: Sequence[str]) -> List[str]:
         jnp, jax = self._jnp, self._jax
         out: List[str] = []
         bs = self.batch_size
+        if self.chat_format:
+            from .inference import green_chat_format
+
+            eos = getattr(self.tokenizer, "eos_token", "</s>") or "</s>"
+            prompts = [green_chat_format(p, eos) for p in prompts]
         for i in range(0, len(prompts), bs):
             chunk = list(prompts[i:i + bs])
             pad_to = bs - len(chunk)

@@ -69,20 +69,33 @@ def convert_decoder(sd: Mapping[str, np.ndarray], cfg: LLMConfig,
     """
     g = lambda name: np.asarray(sd[prefix + name], dtype=np.float32)
     has = lambda name: (prefix + name) in sd
-    lin = lambda name: {"kernel": g(name + ".weight").T}
 
+    def lin(name, bias=False):
+        p = {"kernel": g(name + ".weight").T}
+        if bias and has(name + ".bias"):
+            p["bias"] = g(name + ".bias")
+        return p
+
+    def norm(name):
+        p = {"weight" if cfg.norm_type == "rmsnorm" else "scale":
+             g(name + ".weight")}
+        if cfg.norm_type == "layernorm":
+            p["bias"] = g(name + ".bias")
+        return p
+
+    final_norm = ("model.final_layernorm"
+                  if has("model.final_layernorm.weight") else "model.norm")
     model: dict = {
         "embed_tokens": g("model.embed_tokens.weight"),
-        "norm": {"weight": g("model.norm.weight")},
+        "norm": norm(final_norm),
     }
     hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
-        layer: dict = {
-            "input_layernorm": {"weight": g(p + "input_layernorm.weight")},
-            "post_attention_layernorm": {
-                "weight": g(p + "post_attention_layernorm.weight")},
-        }
+        layer: dict = {"input_layernorm": norm(p + "input_layernorm")}
+        if not cfg.parallel_block:
+            layer["post_attention_layernorm"] = norm(
+                p + "post_attention_layernorm")
         attn: dict = {}
         if has(p + "self_attn.qkv_proj.weight"):  # Phi-3 fused qkv
             w = g(p + "self_attn.qkv_proj.weight")
@@ -91,19 +104,23 @@ def convert_decoder(sd: Mapping[str, np.ndarray], cfg: LLMConfig,
             attn["k_proj"] = {"kernel": w[qn:qn + kn].T}
             attn["v_proj"] = {"kernel": w[qn + kn:].T}
         else:
-            attn["q_proj"] = lin(p + "self_attn.q_proj")
-            attn["k_proj"] = lin(p + "self_attn.k_proj")
-            attn["v_proj"] = lin(p + "self_attn.v_proj")
-            if cfg.attention_bias:
-                for nm in ("q_proj", "k_proj", "v_proj"):
-                    attn[nm]["bias"] = g(p + f"self_attn.{nm}.bias")
-        attn["o_proj"] = lin(p + "self_attn.o_proj")
+            attn["q_proj"] = lin(p + "self_attn.q_proj", cfg.attention_bias)
+            attn["k_proj"] = lin(p + "self_attn.k_proj", cfg.attention_bias)
+            attn["v_proj"] = lin(p + "self_attn.v_proj", cfg.attention_bias)
+        o_name = (p + "self_attn.dense" if has(p + "self_attn.dense.weight")
+                  else p + "self_attn.o_proj")
+        attn["o_proj"] = lin(o_name, cfg.attention_bias)
         if cfg.qk_norm:
             attn["q_norm"] = {"weight": g(p + "self_attn.q_norm.weight")}
             attn["k_norm"] = {"weight": g(p + "self_attn.k_norm.weight")}
         layer["self_attn"] = attn
 
-        if has(p + "mlp.gate_up_proj.weight"):  # Phi-3 fused gate/up
+        if cfg.mlp_type == "gelu":  # Phi-2 fc1/fc2
+            layer["mlp"] = {
+                "fc1": lin(p + "mlp.fc1", cfg.mlp_bias),
+                "fc2": lin(p + "mlp.fc2", cfg.mlp_bias),
+            }
+        elif has(p + "mlp.gate_up_proj.weight"):  # Phi-3 fused gate/up
             w = g(p + "mlp.gate_up_proj.weight")
             half = w.shape[0] // 2
             layer["mlp"] = {
@@ -122,7 +139,7 @@ def convert_decoder(sd: Mapping[str, np.ndarray], cfg: LLMConfig,
     out: dict = {"model": model}
     if not cfg.tie_word_embeddings:
         if has("lm_head.weight"):
-            out["lm_head"] = lin("lm_head")
+            out["lm_head"] = lin("lm_head", cfg.lm_head_bias)
         else:  # some checkpoints tie silently
             out["lm_head"] = {"kernel": g("model.embed_tokens.weight").T}
     return out
@@ -277,8 +294,11 @@ def llm_config_from_hf(hf_config) -> LLMConfig:
                      else lambda k, d=None: getattr(hf_config, k, d))
     mt = (get("model_type") or "qwen3").lower()
     family = ("qwen3" if "qwen3" in mt else
-              "phi3" if "phi" in mt else "llama")
+              "phi3" if "phi3" in mt else
+              "phi2" if mt == "phi" or "phi-2" in mt or mt == "phi2" else
+              "llama")
     nh = get("num_attention_heads")
+    phi2 = family == "phi2"
     return LLMConfig(
         model_type=family,
         vocab_size=get("vocab_size"),
@@ -289,9 +309,15 @@ def llm_config_from_hf(hf_config) -> LLMConfig:
         num_kv_heads=get("num_key_value_heads") or nh,
         head_dim=get("head_dim") or get("hidden_size") // nh,
         rope_theta=get("rope_theta", 10_000.0),
-        rms_norm_eps=get("rms_norm_eps", 1e-6),
+        rms_norm_eps=get("rms_norm_eps") or get("layer_norm_eps", 1e-6),
         tie_word_embeddings=bool(get("tie_word_embeddings", False)),
         qk_norm=family == "qwen3",
         max_position_embeddings=get("max_position_embeddings", 4096),
-        attention_bias=bool(get("attention_bias", False)),
+        attention_bias=bool(get("attention_bias", phi2)),
+        parallel_block=phi2,
+        partial_rotary_factor=get("partial_rotary_factor", 1.0) if phi2 else 1.0,
+        norm_type="layernorm" if phi2 else "rmsnorm",
+        mlp_type="gelu" if phi2 else "swiglu",
+        mlp_bias=phi2,
+        lm_head_bias=phi2,
     )

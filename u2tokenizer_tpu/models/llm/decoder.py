@@ -69,6 +69,12 @@ class RMSNorm(nn.Module):
         return (xf * w).astype(self.dtype)
 
 
+def make_norm(cfg: LLMConfig, dtype, name: str) -> nn.Module:
+    if cfg.norm_type == "layernorm":
+        return nn.LayerNorm(epsilon=cfg.rms_norm_eps, dtype=dtype, name=name)
+    return RMSNorm(cfg.rms_norm_eps, dtype, name=name)
+
+
 class Attention(nn.Module):
     cfg: LLMConfig
     dtype: Dtype = jnp.bfloat16
@@ -97,9 +103,18 @@ class Attention(nn.Module):
             q = RMSNorm(cfg.rms_norm_eps, self.dtype, name="q_norm")(q)
             k = RMSNorm(cfg.rms_norm_eps, self.dtype, name="k_norm")(k)
 
-        cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        rot_dim = int(hd * cfg.partial_rotary_factor)
+        # round to even (half-rotate layout needs an even dim)
+        rot_dim -= rot_dim % 2
+        cos, sin = rope_cos_sin(positions, rot_dim, cfg.rope_theta)
+        if rot_dim == hd:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+        else:  # Phi-2 partial rotary: only the leading rot_dim dims rotate
+            q = jnp.concatenate(
+                [apply_rope(q[..., :rot_dim], cos, sin), q[..., rot_dim:]], -1)
+            k = jnp.concatenate(
+                [apply_rope(k[..., :rot_dim], cos, sin), k[..., rot_dim:]], -1)
 
         new_cache = None
         if cache_kv is not None:
@@ -130,12 +145,12 @@ class Attention(nn.Module):
         else:
             out = gqa_sdpa(q, k_att, v_att, mask=mask)
         out = out.reshape(b, s, cfg.num_heads * hd)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="o_proj")(out), new_cache
+        return nn.Dense(cfg.hidden_size, use_bias=cfg.attention_bias,
+                        dtype=self.dtype, name="o_proj")(out), new_cache
 
 
 class MLP(nn.Module):
-    """SwiGLU MLP: down(silu(gate(x)) * up(x))."""
+    """SwiGLU MLP: down(silu(gate(x)) * up(x)); or Phi-2 gelu fc1/fc2."""
 
     cfg: LLMConfig
     dtype: Dtype = jnp.bfloat16
@@ -143,6 +158,12 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        if cfg.mlp_type == "gelu":
+            h = nn.Dense(cfg.intermediate_size, use_bias=cfg.mlp_bias,
+                         dtype=self.dtype, name="fc1")(x)
+            h = nn.gelu(h, approximate=True)  # HF gelu_new
+            return nn.Dense(cfg.hidden_size, use_bias=cfg.mlp_bias,
+                            dtype=self.dtype, name="fc2")(h)
         gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
                         name="gate_proj")(x)
         up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
@@ -158,13 +179,16 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, positions, mask, cache_kv=None, write_index=None,
                  lens=None):
-        y = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="input_layernorm")(x)
+        y = make_norm(self.cfg, self.dtype, "input_layernorm")(x)
         attn_out, new_cache = Attention(self.cfg, self.dtype, name="self_attn")(
             y, positions, mask, cache_kv, write_index, lens)
-        x = x + attn_out
-        y = RMSNorm(self.cfg.rms_norm_eps, self.dtype,
-                    name="post_attention_layernorm")(x)
-        x = x + MLP(self.cfg, self.dtype, name="mlp")(y)
+        if self.cfg.parallel_block:
+            # Phi-2: attention and MLP both read the same pre-LN activations
+            x = x + attn_out + MLP(self.cfg, self.dtype, name="mlp")(y)
+        else:
+            x = x + attn_out
+            y = make_norm(self.cfg, self.dtype, "post_attention_layernorm")(x)
+            x = x + MLP(self.cfg, self.dtype, name="mlp")(y)
         return x, new_cache
 
 
@@ -186,7 +210,7 @@ class DecoderModel(nn.Module):
                 policy=jax.checkpoint_policies.nothing_saveable)
         self.layers = [layer_cls(self.cfg, self.dtype, name=f"layers_{i}")
                        for i in range(self.cfg.num_layers)]
-        self.norm_f = RMSNorm(self.cfg.rms_norm_eps, self.dtype, name="norm")
+        self.norm_f = make_norm(self.cfg, self.dtype, "norm")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return jnp.take(self.embed_tokens, input_ids, axis=0).astype(self.dtype)
@@ -231,7 +255,8 @@ class CausalLM(nn.Module):
     def setup(self):
         self.model = DecoderModel(self.cfg, self.dtype, self.remat)
         if not self.cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(self.cfg.vocab_size, use_bias=False,
+            self.lm_head = nn.Dense(self.cfg.vocab_size,
+                                    use_bias=self.cfg.lm_head_bias,
                                     dtype=self.dtype, name="lm_head")
 
     def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
