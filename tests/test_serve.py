@@ -1,0 +1,87 @@
+"""Serving layer tests: real HTTP requests against a background server."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from test_data import MockTokenizer
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from u2tokenizer_tpu.config import U2ModelConfig
+    from u2tokenizer_tpu.data.nifti import write_nifti
+    from u2tokenizer_tpu.data.transforms import U2VolumeTransform
+    from u2tokenizer_tpu.eval.inference import U2InferenceModel
+    from u2tokenizer_tpu.models.hf_export import save_hf_checkpoint
+    from u2tokenizer_tpu.models.u2_model import U2CausalLM
+    from u2tokenizer_tpu.serve import serve_background
+
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    d, h, w = cfg.vision.input_spatial
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, 16), jnp.int32),
+                        jax.random.normal(rng, (1, cfg.num_chunks, d, h, w)),
+                        jnp.ones((1, 4), jnp.int32))
+    ckpt = str(tmp / "ckpt")
+    save_hf_checkpoint(ckpt, params, cfg)
+
+    wrapper = U2InferenceModel(ckpt, tokenizer=MockTokenizer(),
+                               model_config=cfg, dtype=jnp.float32,
+                               max_length=32, max_new_tokens=4,
+                               do_sample=False)
+    transform = U2VolumeTransform(data_type="validation", target_size=h,
+                                  chunk_depth=d, num_chunks=cfg.num_chunks)
+    httpd = serve_background(wrapper, port=0, transform=transform)
+    port = httpd.server_address[1]
+
+    vol_path = str(tmp / "case.nii.gz")
+    write_nifti(vol_path, np.random.default_rng(0)
+                .uniform(-100, 400, (24, 28, 12)).astype(np.float32))
+    yield f"http://127.0.0.1:{port}", vol_path
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_health(server_url):
+    url, _ = server_url
+    with urllib.request.urlopen(url + "/health") as resp:
+        assert json.loads(resp.read())["status"] == "ok"
+
+
+def test_report_endpoint(server_url):
+    url, vol = server_url
+    status, out = _post(url + "/v1/report",
+                        {"image_path": vol, "question": "describe findings"})
+    assert status == 200
+    assert "report" in out and isinstance(out["report"], str)
+    assert out["latency_s"] >= 0
+
+
+def test_report_bad_requests(server_url):
+    url, vol = server_url
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/v1/report", {"question": "no image"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/v1/report", {"image_path": "/missing.nii.gz",
+                                   "question": "q"})
+    assert e.value.code in (404, 500)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/v1/nothing", {})
+    assert e.value.code == 404

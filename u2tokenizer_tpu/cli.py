@@ -492,6 +492,22 @@ def cmd_demo(args):
         print(answer(q))
 
 
+def cmd_serve(args):
+    """HTTP serving (serve.py): POST /v1/report {image_path, question}."""
+    import jax.numpy as jnp
+
+    from .eval.inference import U2InferenceModel
+    from .serve import serve
+
+    cfg = _load_model_config(args) if (args.tiny or args.config) else None
+    model = U2InferenceModel(
+        args.checkpoint, tokenizer=_load_tokenizer(args.tokenizer),
+        model_config=cfg, max_new_tokens=args.max_new_tokens,
+        do_sample=args.do_sample, top_p=args.top_p)
+    print(f"serving on {args.host}:{args.port}", file=sys.stderr)
+    serve(model, host=args.host, port=args.port)
+
+
 def cmd_selftest(args):
     """Tiny end-to-end pipeline on synthetic data: build NIfTI volumes +
     jsonl, train a few SFT steps, generate, GREEN-score, convert to DPO
@@ -643,6 +659,17 @@ def build_parser():
     ev.add_argument("--max-cases", type=int, default=100)
     ev.set_defaults(fn=cmd_eval)
 
+    sv = sub.add_parser("serve")
+    _add_common(sv)
+    sv.add_argument("--checkpoint", required=True)
+    sv.add_argument("--tokenizer", default=None)
+    sv.add_argument("--host", default="0.0.0.0")
+    sv.add_argument("--port", type=int, default=8088)
+    sv.add_argument("--max-new-tokens", type=int, default=768)
+    sv.add_argument("--do-sample", action="store_true")
+    sv.add_argument("--top-p", type=float, default=0.9)
+    sv.set_defaults(fn=cmd_serve)
+
     st = sub.add_parser("selftest")
     st.add_argument("--tokenizer", default=None,
                     help="HF tokenizer dir; omit to use the built-in mock")
@@ -651,8 +678,12 @@ def build_parser():
 
 
 def main(argv=None):
+    from .utils.errors import record
+
     args = build_parser().parse_args(argv)
-    args.fn(args)
+    # structured crash reports for every entry point (the reference wraps its
+    # train mains with torch elastic's @record, train_stage1.py:30-31)
+    record(args.fn)(args)
 
 
 if __name__ == "__main__":

@@ -319,6 +319,70 @@ class M3DRefSegDataset(M3DBase):
         return self.getitem_with_retry(idx, fetch)
 
 
+def truncate_text_random_sentences(text: str, max_tokens: int, tokenizer,
+                                   rng: random.Random) -> str:
+    """Reference truncate_text (multi_dataset.py:63-89 / fused_dataset.py:78-105):
+    keep the first sentence, then add random sentences while the token budget
+    allows."""
+    def count(t):
+        return len(tokenizer.encode(t, add_special_tokens=True)
+                   if hasattr(tokenizer, "encode") else tokenizer(t)["input_ids"])
+
+    if count(text) <= max_tokens:
+        return text
+    sentences = text.split(".")
+    selected = []
+    current = 0
+    if sentences:
+        selected.append(sentences.pop(0))
+    while current <= max_tokens and sentences:
+        cand = rng.choice(sentences)
+        n = count(cand)
+        if current + n <= max_tokens and cand not in selected:
+            selected.append(cand)
+            current += n
+        else:
+            sentences.remove(cand)
+    return ".".join(selected)
+
+
+class M3DITRDataset(M3DBase):
+    """Image-text retrieval pairs (multi_dataset.py:21-129): volume + a
+    token-budgeted report text, no QA structure. Validation truncates the
+    split to 512 rows."""
+
+    def __init__(self, data_root: str, cap_data_path: str, tokenizer,
+                 max_length: int, **kw):
+        super().__init__(data_root, tokenizer, max_length, **kw)
+        with open(cap_data_path) as f:
+            self.data_list = json.load(f)[self.mode]
+        if self.mode == "validation":
+            self.data_list = self.data_list[:512]
+
+    def __len__(self):
+        return len(self.data_list)
+
+    def __getitem__(self, idx):
+        def fetch(i):
+            data = self.data_list[i]
+            image = self.load_volume(data["image"])
+            with open(os.path.join(self.data_root, data["text"])) as f:
+                raw_text = f.read()
+            text = truncate_text_random_sentences(
+                raw_text, self.max_length, self.tokenizer, self._pyrng)
+            input_id, attention_mask, _ = self._pad(
+                self.tokenizer(text)["input_ids"])
+            return {
+                "image": image,
+                "text": text,
+                "input_id": input_id,
+                "attention_mask": attention_mask,
+                "question_type": "Image_text_retrieval",
+            }
+
+        return self.getitem_with_retry(idx, fetch)
+
+
 class ConcatDataset:
     """Uniform concatenation (the Multi*/Uni combinators,
     multi_dataset.py:1106-1203)."""

@@ -55,12 +55,14 @@ def make_generate_fn(
         att = (jnp.arange(s)[None, :] < prompt_len[:, None]).astype(jnp.int32)
         mask = causal_padding_mask(att)
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-        logits, _, cache = model.apply(
+        _, hidden, cache = model.apply(
             params, inputs_embeds, attention_mask=None, cache=cache,
             write_index=jnp.int32(0), positions=positions, mask=mask,
-            lens=prompt_len.astype(jnp.int32), method="forward_embeds")
-        last = jnp.take_along_axis(
-            logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]  # (B, V)
+            lens=prompt_len.astype(jnp.int32), compute_logits=False,
+            method="forward_embeds")
+        last_hidden = jnp.take_along_axis(
+            hidden, (prompt_len - 1)[:, None, None], axis=1)  # (B, 1, E)
+        last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
         rng, sub = jax.random.split(rng)
         tok0 = sample(sub, last, do_sample=gen.do_sample,
                       temperature=gen.temperature, top_p=gen.top_p)

@@ -263,7 +263,8 @@ class CausalLM(nn.Module):
         return self.model.embed(input_ids)
 
     def forward_embeds(self, inputs_embeds, attention_mask=None, cache=None,
-                       write_index=None, positions=None, mask=None, lens=None):
+                       write_index=None, positions=None, mask=None, lens=None,
+                       compute_logits=True):
         """Generation-compatible entry (same surface as
         U2CausalLM.forward_embeds) for text-only models, e.g. GREEN judges.
 
@@ -280,10 +281,18 @@ class CausalLM(nn.Module):
             mask = causal
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-        return self(inputs_embeds, positions, mask, cache, write_index, lens)
+        return self(inputs_embeds, positions, mask, cache, write_index, lens,
+                    compute_logits)
 
     def decode_step(self, token_embeds, positions, mask, cache, write_index):
         return self(token_embeds, positions, mask, cache, write_index)
+
+    def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Project hidden states to vocabulary logits (fp32)."""
+        if self.cfg.tie_word_embeddings:
+            return hidden.astype(jnp.float32) @ jnp.transpose(
+                self.model.embed_tokens).astype(jnp.float32)
+        return self.lm_head(hidden).astype(jnp.float32)
 
     def __call__(
         self,
@@ -293,12 +302,12 @@ class CausalLM(nn.Module):
         cache: Optional[KVCache] = None,
         write_index: Optional[jax.Array] = None,
         lens: Optional[jax.Array] = None,
+        compute_logits: bool = True,
     ):
         hidden, out_cache = self.model(inputs_embeds, positions, mask,
                                        cache, write_index, lens)
-        if self.cfg.tie_word_embeddings:
-            logits = hidden.astype(jnp.float32) @ jnp.transpose(
-                self.model.embed_tokens).astype(jnp.float32)
-        else:
-            logits = self.lm_head(hidden).astype(jnp.float32)
+        # compute_logits=False skips the (B, S, vocab) projection — the
+        # generation prefill only samples one position, and a full-sequence
+        # fp32 logits tensor is the dominant prefill memory (OOM at B=16).
+        logits = self.lm_logits(hidden) if compute_logits else None
         return logits, hidden, out_cache

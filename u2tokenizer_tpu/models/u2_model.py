@@ -105,7 +105,8 @@ class U2CausalLM(nn.Module):
         return self.forward_embeds(embeds, attention_mask, cache, write_index)
 
     def forward_embeds(self, inputs_embeds, attention_mask=None, cache=None,
-                       write_index=None, positions=None, mask=None, lens=None):
+                       write_index=None, positions=None, mask=None, lens=None,
+                       compute_logits=True):
         b, s, _ = inputs_embeds.shape
         if attention_mask is None and mask is None:
             attention_mask = jnp.ones((b, s), dtype=jnp.int32)
@@ -118,7 +119,7 @@ class U2CausalLM(nn.Module):
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
         return self.llm(inputs_embeds, positions, mask, cache, write_index,
-                        lens)
+                        lens, compute_logits)
 
     # --- exposed submodule entry points (for apply(..., method=...)) ---
 
@@ -128,3 +129,6 @@ class U2CausalLM(nn.Module):
     def decode_step(self, token_embeds, positions, mask, cache, write_index):
         """One decode step: (B, 1, E) embeds against the full cache."""
         return self.llm(token_embeds, positions, mask, cache, write_index)
+
+    def lm_logits(self, hidden):
+        return self.llm.lm_logits(hidden)
