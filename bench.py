@@ -29,7 +29,7 @@ import numpy as np
 
 A40_BASELINE_REPORTS_PER_MIN = 4.0  # estimated; see module docstring
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "4"))
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "16"))
 PROMPT_LEN = 1024
 MAX_NEW_TOKENS = 768
 
@@ -61,7 +61,10 @@ def main():
 
     log(f"bench: initializing μ²Qwen3-1.7B params on {jax.devices()[0]}")
     t0 = time.time()
-    params = jax.jit(lambda r: model.init(r, input_ids, images, question_ids))(rng)
+    # init with batch-1 inputs: params are batch-independent, and tracing the
+    # full-batch forward at init both slows the compile and can OOM
+    params = jax.jit(lambda r: model.init(
+        r, input_ids[:1], images[:1], question_ids[:1]))(rng)
     np.asarray(jax.tree_util.tree_leaves(params)[0])
     log(f"bench: init done in {time.time() - t0:.1f}s")
 

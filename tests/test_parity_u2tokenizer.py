@@ -166,3 +166,33 @@ def test_u2tokenizer_full_parity():
     out = fm.apply(params, jnp.asarray(t2n(v)), jnp.asarray(t2n(t)))
     assert out.shape == (2, 8, D_MODEL)
     assert_close_scaled(out, t2n(ref))
+
+
+def test_attention_capture():
+    """capture_attention sows softmax maps into 'intermediates' — the demo
+    notebook's return_attn introspection (svr.py:50-62, tta.py:126-140)."""
+    cfg = U2TokenizerConfig(num_heads=HEADS, num_layers=2, top_k=16,
+                            use_multi_scale=True, num_query_tokens=8,
+                            attn_type="rma", max_seq_len=512)
+    fm = U2Tokenizer(D_MODEL, cfg)
+    v = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 16, D_MODEL)),
+                    jnp.float32)
+    t = jnp.asarray(np.random.default_rng(1).normal(size=(1, 7, D_MODEL)),
+                    jnp.float32)
+    params = fm.init(jax.random.PRNGKey(0), v, t)
+    out, state = fm.apply(params, v, t, capture_attention=True,
+                          mutable=["intermediates"])
+    inter = state["intermediates"]
+    leaves = jax.tree_util.tree_leaves(inter)
+    assert leaves, "no attention maps captured"
+    # spatial map: (b*t=4, heads, n=16, n=16); all rows sum to 1
+    spatial = inter["svt_module"]["layers_0"]["spatial_attention"]["attn"][0]
+    assert spatial.shape == (4, HEADS, 16, 16)
+    np.testing.assert_allclose(np.asarray(spatial.sum(-1)), 1.0, atol=1e-5)
+    # TTA first-layer maps present (self + visual cross + text cross)
+    tta0 = inter["tta_module"]["layers_vt_0"]
+    assert set(tta0) >= {"self_attention", "visual_cross_attention",
+                         "text_cross_attention"}
+    # and the plain forward (no capture) returns identical outputs
+    out2 = fm.apply(params, v, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)

@@ -26,6 +26,23 @@ from ...ops.rotary import apply_rope, rope_cos_sin
 
 Dtype = Any
 
+# Attention-map introspection (the reference's return_attn paths feeding the
+# demo notebook, svr.py:50-62 / tta.py:126-140): modules sow their softmax
+# probabilities into the 'intermediates' collection; retrieve with
+#   out, state = module.apply(params, ..., mutable=["intermediates"],
+#                             capture_attention=True)
+
+
+def _attn_probs(q, k, bias=None, scale=None):
+    import jax
+
+    depth = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (depth ** 0.5)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+
 
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     b, s, e = x.shape
@@ -44,7 +61,8 @@ class RelativeMultiheadAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value, is_compress: bool = False):
+    def __call__(self, query, key, value, is_compress: bool = False,
+                 capture_attention: bool = False):
         seq_len = query.shape[1]
         dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
         q = _split_heads(dense("wq")(query), self.num_heads)
@@ -61,6 +79,8 @@ class RelativeMultiheadAttention(nn.Module):
             jnp.float32,
         )
         bias = relative_position_bias(table, seq_len, self.max_seq_len)
+        if capture_attention:
+            self.sow("intermediates", "attn", _attn_probs(q, k, bias=bias))
         out = _merge_heads(sdpa(q, k, v, bias=bias))
         if is_compress:
             return out
@@ -75,7 +95,7 @@ class RotaryMultiheadAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value):
+    def __call__(self, query, key, value, capture_attention: bool = False):
         dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
         q = _split_heads(dense("wq")(query), self.num_heads)
         k = _split_heads(dense("wk")(key), self.num_heads)
@@ -87,6 +107,8 @@ class RotaryMultiheadAttention(nn.Module):
         cos_k, sin_k = rope_cos_sin(jnp.arange(key.shape[1]), head_dim, self.theta)
         k = apply_rope(k, cos_k, sin_k)
 
+        if capture_attention:
+            self.sow("intermediates", "attn", _attn_probs(q, k))
         out = _merge_heads(sdpa(q, k, v))
         return dense("dense")(out)
 
@@ -101,11 +123,13 @@ class VanillaMultiheadAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value):
+    def __call__(self, query, key, value, capture_attention: bool = False):
         dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
         q = _split_heads(dense("wq")(query), self.num_heads)
         k = _split_heads(dense("wk")(key), self.num_heads)
         v = _split_heads(dense("wv")(value), self.num_heads)
+        if capture_attention:
+            self.sow("intermediates", "attn", _attn_probs(q, k))
         out = _merge_heads(sdpa(q, k, v))
         return dense("dense")(out)
 
@@ -130,7 +154,8 @@ class MultiHeadCrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, value, is_compress: bool = False):
+    def __call__(self, query, value, is_compress: bool = False,
+                 capture_attention: bool = False):
         dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
         q = _split_heads(dense("wq")(query), self.num_heads)
         k = _split_heads(dense("wk")(value), self.num_heads)
@@ -138,6 +163,8 @@ class MultiHeadCrossAttention(nn.Module):
             v = _split_heads(value, self.num_heads)
         else:
             v = _split_heads(dense("wv")(value), self.num_heads)
+        if capture_attention:
+            self.sow("intermediates", "attn", _attn_probs(q, k))
         out = _merge_heads(sdpa(q, k, v))
         if is_compress:
             return out

@@ -33,7 +33,8 @@ class SpatioTemporalAttentionLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 capture_attention: bool = False) -> jnp.ndarray:
         b, t, n, e = x.shape
         spatial = make_self_attention(
             self.attn_type, self.embed_size, self.num_heads,
@@ -43,11 +44,11 @@ class SpatioTemporalAttentionLayer(nn.Module):
             self.max_seq_len, self.dtype, "temporal_attention")
 
         xs = x.reshape(b * t, n, e)
-        xs = spatial(xs, xs, xs)
+        xs = spatial(xs, xs, xs, capture_attention=capture_attention)
         x = xs.reshape(b, t, n, e)
 
         xt = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * n, t, e)
-        xt = temporal(xt, xt, xt)
+        xt = temporal(xt, xt, xt, capture_attention=capture_attention)
         x = jnp.transpose(xt.reshape(b, n, t, e), (0, 2, 1, 3))
         return x
 
@@ -117,11 +118,15 @@ class SpatioTemporalVisualTokenRefiner(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 capture_attention: bool = False) -> jnp.ndarray:
         for i in range(self.num_layers):
+            # reference captures attention maps from the first layer only
+            # (svr.py:50-62)
             x = SpatioTemporalAttentionLayer(
                 self.embed_size, self.num_heads, self.attn_type,
-                self.max_seq_len, self.dtype, name=f"layers_{i}")(x)
+                self.max_seq_len, self.dtype, name=f"layers_{i}")(
+                    x, capture_attention=capture_attention and i == 0)
 
         if self.enable_diffts:
             x = DifferentiableTokenSelection(

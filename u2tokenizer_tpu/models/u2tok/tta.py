@@ -30,7 +30,8 @@ class TextConditionTokenAttMap(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, visual_query, visual_value, text_value):
+    def __call__(self, visual_query, visual_value, text_value,
+                 capture_attention: bool = False):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
         self_attn = make_self_attention(
             self.attn_type, self.d_model, self.num_heads,
@@ -42,11 +43,14 @@ class TextConditionTokenAttMap(nn.Module):
             self.d_model, self.num_heads, dtype=self.dtype,
             name="text_cross_attention")
 
-        self_out = self_attn(visual_query, visual_query, visual_query)
+        self_out = self_attn(visual_query, visual_query, visual_query,
+                             capture_attention=capture_attention)
         self_out = ln("norm_self")(visual_query + self_out)
-        cross_out = cross_v(self_out, visual_value)
+        cross_out = cross_v(self_out, visual_value,
+                            capture_attention=capture_attention)
         cross_out_visual = ln("norm_cross_v")(self_out + cross_out)
-        cross_out_vt = cross_t(cross_out_visual, text_value)
+        cross_out_vt = cross_t(cross_out_visual, text_value,
+                               capture_attention=capture_attention)
         return ln("norm_cross_t")(cross_out_visual + cross_out_vt)
 
 
@@ -76,12 +80,15 @@ class TextConditionTokenAggregator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, visual_value, text_value):
+    def __call__(self, query, visual_value, text_value,
+                 capture_attention: bool = False):
         for i in range(self.num_layers):
+            # reference captures maps from the first layer only (tta.py:126-134)
             query = TextConditionTokenAttMap(
                 self.d_model, self.num_heads, self.attn_type,
                 self.max_seq_len, self.dtype, name=f"layers_vt_{i}")(
-                    query, visual_value, text_value)
+                    query, visual_value, text_value,
+                    capture_attention=capture_attention and i == 0)
         return LinearAggregation(
             self.d_model, self.num_heads, self.dtype,
             name="layer_linagg")(query, visual_value)

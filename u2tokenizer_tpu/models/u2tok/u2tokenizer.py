@@ -26,7 +26,8 @@ class U2Tokenizer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, v_token: jnp.ndarray, t_token: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, v_token: jnp.ndarray, t_token: jnp.ndarray,
+                 capture_attention: bool = False) -> jnp.ndarray:
         b = v_token.shape[0]
         query_tokens = self.param(
             "query_tokens",
@@ -52,7 +53,7 @@ class U2Tokenizer(nn.Module):
             diffts_tau=self.cfg.diffts_tau,
             dtype=self.dtype,
             name="svt_module",
-        )(v_token)
+        )(v_token, capture_attention=capture_attention)
 
         return TextConditionTokenAggregator(
             d_model=self.embed_size,
@@ -62,4 +63,4 @@ class U2Tokenizer(nn.Module):
             max_seq_len=self.cfg.max_seq_len,
             dtype=self.dtype,
             name="tta_module",
-        )(query, v_token, t_token)
+        )(query, v_token, t_token, capture_attention=capture_attention)
