@@ -30,6 +30,7 @@ import numpy as np
 A40_BASELINE_REPORTS_PER_MIN = 4.0  # estimated; see module docstring
 
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", "16"))
+KV_DTYPE = __import__("os").environ.get("BENCH_KV", "int8")  # int8 | bf16
 PROMPT_LEN = 1024
 MAX_NEW_TOKENS = 768
 
@@ -70,9 +71,12 @@ def main():
 
     gen = GenerationConfig(max_new_tokens=MAX_NEW_TOKENS, do_sample=False,
                            eos_token_id=-2, pad_token_id=0)
-    gen_fn = make_multimodal_generate_fn(model, gen)
+    import jax.numpy as _jnp
 
-    log("bench: compiling generate (prefill + decode scan)")
+    cache_dtype = "int8" if KV_DTYPE == "int8" else _jnp.bfloat16
+    gen_fn = make_multimodal_generate_fn(model, gen, cache_dtype=cache_dtype)
+
+    log(f"bench: compiling generate (prefill + decode scan, kv={KV_DTYPE})")
     t0 = time.time()
     toks = gen_fn(params, input_ids, images, question_ids, prompt_len,
                   jax.random.PRNGKey(1))
@@ -104,6 +108,7 @@ def main():
             "prompt_len": PROMPT_LEN,
             "max_new_tokens": MAX_NEW_TOKENS,
             "seconds_per_batch": round(dt, 3),
+            "kv_cache": KV_DTYPE,
             "baseline_estimated": True,
             "baseline_reports_per_min_a40": A40_BASELINE_REPORTS_PER_MIN,
         },

@@ -93,3 +93,43 @@ def test_frozen_vision_tower():
     after_q = np.asarray(state.params["params"]["u2tokenizer"]["query_tokens"])
     np.testing.assert_array_equal(before, after)
     assert not np.array_equal(before_q, after_q)
+
+
+def test_sharded_generate_tensor_parallel():
+    """Multi-chip serving: generate with TP/FSDP-sharded params on the mesh —
+    jit infers the sharded execution from the param placements."""
+    from u2tokenizer_tpu.config import GenerationConfig
+    from u2tokenizer_tpu.models.generate import make_multimodal_generate_fn
+    from u2tokenizer_tpu.parallel.mesh import param_shardings
+
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    d, h, w = cfg.vision.input_spatial
+    images = jax.random.normal(rng, (2, cfg.num_chunks, d, h, w))
+    ids = jnp.zeros((2, 24), jnp.int32)
+    qids = jnp.ones((2, 6), jnp.int32)
+    params = model.init(rng, ids, images, qids)
+
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False, eos_token_id=-2)
+    gen_fn = make_multimodal_generate_fn(model, gen, cache_dtype=jnp.float32)
+    ref = np.asarray(gen_fn(params, ids, images, qids,
+                            jnp.array([24, 24], jnp.int32),
+                            jax.random.PRNGKey(1)))
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+    sharded_params = jax.device_put(params, param_shardings(mesh, params))
+    out = np.asarray(gen_fn(sharded_params, ids, images, qids,
+                            jnp.array([24, 24], jnp.int32),
+                            jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_dryrun_multichip_sizes(n):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(n)

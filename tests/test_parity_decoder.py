@@ -114,3 +114,43 @@ def test_decoder_cache_consistency():
         np.testing.assert_allclose(
             np.asarray(logits_t[:, 0]), np.asarray(full_logits[:, t]),
             rtol=1e-5, atol=1e-5)
+
+
+def test_int8_cache_decode_close_to_fp32():
+    """Quantized-cache decode must track the exact decode closely (int8
+    per-row symmetric quantization)."""
+    import jax
+
+    from u2tokenizer_tpu.models.llm.decoder import KVCache
+
+    cfg = LLMConfig.tiny(vocab_size=64)
+    model = CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    s = 12
+    ids = jax.random.randint(rng, (1, s), 0, 64)
+    positions = jnp.broadcast_to(jnp.arange(s), (1, s))
+    params = model.init(rng, jnp.zeros((1, s, cfg.hidden_size)), positions,
+                        jnp.tril(jnp.ones((s, s), bool))[None, None])
+    embeds = model.apply(params, ids, method=CausalLM.embed_tokens)
+
+    def run(dtype):
+        cache = KVCache.create(cfg, 1, s, dtype=dtype)
+        pre = 6
+        _, _, cache = model.apply(
+            params, embeds[:, :pre], positions[:, :pre],
+            jnp.tril(jnp.ones((pre, pre), bool))[None, None], cache,
+            jnp.int32(0))
+        outs = []
+        kv_pos = jnp.arange(s)
+        for t in range(pre, s):
+            logits_t, _, cache = model.apply(
+                params, embeds[:, t:t + 1], positions[:, t:t + 1],
+                (kv_pos <= t)[None, None, None, :], cache, jnp.int32(t))
+            outs.append(np.asarray(logits_t[:, 0]))
+        return np.stack(outs)
+
+    exact = run(jnp.float32)
+    quant = run("int8")
+    # logits track closely; greedy tokens identical for this model
+    assert np.abs(exact - quant).max() < 0.15 * np.abs(exact).max()
+    np.testing.assert_array_equal(exact.argmax(-1), quant.argmax(-1))

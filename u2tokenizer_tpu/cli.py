@@ -8,8 +8,15 @@ launch + per-task eval mains):
   python -m u2tokenizer_tpu.cli generate  — CT volume(s) -> report jsonl
   python -m u2tokenizer_tpu.cli green     — GREEN-score a predictions jsonl
   python -m u2tokenizer_tpu.cli dpo-convert — greened jsonl -> DPO pairs
+  python -m u2tokenizer_tpu.cli eval      — MRG / VQA evaluation drivers
+  python -m u2tokenizer_tpu.cli demo      — one CT volume -> report (REPL)
+  python -m u2tokenizer_tpu.cli serve     — HTTP serving (/v1/report)
   python -m u2tokenizer_tpu.cli selftest  — tiny end-to-end pipeline on
                                              synthetic data (no checkpoints)
+
+Every subcommand accepts the μ²tokenizer ablation flags
+(--attn-type/--enable-diffts/--enable-dmtp/--no-multi-scale/
+--disable-u2tokenizer), mirroring the reference's stage-1 script matrix.
 
 Model/config flags accept a JSON config file (U2ModelConfig.to_json schema);
 tokenizers are HF AutoTokenizer directories.
@@ -28,17 +35,53 @@ def _add_common(p):
                    help="U2ModelConfig JSON file (default: flagship 1.7B)")
     p.add_argument("--tiny", action="store_true",
                    help="use the tiny test config")
+    # μ²tokenizer ablation matrix (reference launcher flags:
+    # enable_u2tokenizer / attn_type / enable_diffts / enable_dmtp /
+    # use_multi_scale — train_stage1.py:69-78)
+    p.add_argument("--attn-type", choices=["rma", "rope", "vanilla"],
+                   default=None)
+    p.add_argument("--enable-diffts", action="store_true")
+    p.add_argument("--enable-dmtp", action="store_true")
+    p.add_argument("--no-multi-scale", dest="no_multi_scale",
+                   action="store_true")
+    p.add_argument("--disable-u2tokenizer", action="store_true",
+                   help="LinVT-style baseline: raw projected tokens, no μ²")
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--num-query-tokens", type=int, default=None)
 
 
 def _load_model_config(args):
+    import dataclasses
+
     from .config import U2ModelConfig
 
     if args.tiny:
-        return U2ModelConfig.tiny()
-    if args.config:
+        cfg = U2ModelConfig.tiny()
+    elif args.config:
         with open(args.config) as f:
-            return U2ModelConfig.from_dict(json.load(f))
-    return U2ModelConfig()
+            cfg = U2ModelConfig.from_dict(json.load(f))
+    else:
+        cfg = U2ModelConfig()
+    # ablation matrix flags (reference script/amos_mm_stage1/*.sh:
+    # mu2 / rpe-vs-rope / diffts / dmtp / linvt)
+    u2t = cfg.u2t
+    if getattr(args, "attn_type", None):
+        u2t = dataclasses.replace(u2t, attn_type=args.attn_type)
+    if getattr(args, "enable_diffts", False):
+        u2t = dataclasses.replace(u2t, enable_diffts=True)
+    if getattr(args, "enable_dmtp", False):
+        u2t = dataclasses.replace(u2t, enable_dmtp=True)
+    if getattr(args, "no_multi_scale", False):
+        u2t = dataclasses.replace(u2t, use_multi_scale=False)
+    if getattr(args, "disable_u2tokenizer", False):
+        u2t = dataclasses.replace(u2t, enable=False)
+    if getattr(args, "top_k", None):
+        u2t = dataclasses.replace(u2t, top_k=args.top_k)
+    if getattr(args, "num_query_tokens", None):
+        u2t = dataclasses.replace(u2t, num_query_tokens=args.num_query_tokens)
+    if u2t is not cfg.u2t:
+        cfg = dataclasses.replace(cfg, u2t=u2t)
+    return cfg
 
 
 def _load_tokenizer(path):

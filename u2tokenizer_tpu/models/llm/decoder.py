@@ -25,7 +25,7 @@ from flax import linen as nn
 from flax import struct
 
 from ...config import LLMConfig
-from ...ops.attention import gqa_sdpa
+from ...ops.attention import gqa_sdpa, gqa_sdpa_quantized, quantize_kv
 from ...ops.flash_attention import flash_attention
 from ...ops.rotary import apply_rope, rope_cos_sin
 
@@ -38,19 +38,36 @@ class KVCache:
     buffers. Per-layer buffers (instead of one stacked (L, ...) array) let
     XLA alias each layer's dynamic_update_slice in place inside the decode
     scan — a stacked cache forces slice+update+re-stack copies of the whole
-    cache every step."""
+    cache every step.
+
+    Optional int8 quantization (``create(..., dtype="int8")``): values are
+    stored int8 with per-(position, head) bf16 scales; decode reads half the
+    HBM bytes (the decode loop is cache-bandwidth-bound at large batch)."""
 
     k: Tuple[jax.Array, ...]
     v: Tuple[jax.Array, ...]
+    k_scale: Optional[Tuple[jax.Array, ...]] = None
+    v_scale: Optional[Tuple[jax.Array, ...]] = None
 
     @classmethod
     def create(cls, cfg: LLMConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        if dtype in ("int8", jnp.int8):
+            sshape = (batch, max_len, cfg.num_kv_heads, 1)
+            zeros = lambda sh, dt: tuple(jnp.zeros(sh, dt)
+                                         for _ in range(cfg.num_layers))
+            return cls(k=zeros(shape, jnp.int8), v=zeros(shape, jnp.int8),
+                       k_scale=zeros(sshape, jnp.bfloat16),
+                       v_scale=zeros(sshape, jnp.bfloat16))
         return cls(k=tuple(jnp.zeros(shape, dtype)
                            for _ in range(cfg.num_layers)),
                    v=tuple(jnp.zeros(shape, dtype)
                            for _ in range(cfg.num_layers)))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def max_len(self) -> int:
@@ -117,20 +134,27 @@ class Attention(nn.Module):
                 [apply_rope(k[..., :rot_dim], cos, sin), k[..., rot_dim:]], -1)
 
         new_cache = None
+        quantized_decode = False
         if cache_kv is not None:
-            ck, cv = cache_kv
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, write_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, write_index, 0, 0))
-            new_cache = (ck, cv)
-            if s > 1:
-                # Prefill: keys occupy [0, s) (write_index is 0) — attend the
-                # static slice only, avoiding S x max_len wasted scores.
-                k_att = ck[:, :s].astype(self.dtype)
-                v_att = cv[:, :s].astype(self.dtype)
+            ck, cv, ks, vs = cache_kv
+            dus = lambda buf, val: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (0, write_index, 0, 0))
+            if ks is not None:  # int8 cache: quantize on write
+                k_q, k_s = quantize_kv(k)
+                v_q, v_s = quantize_kv(v)
+                ck, cv = dus(ck, k_q), dus(cv, v_q)
+                ks, vs = dus(ks, k_s), dus(vs, v_s)
+                quantized_decode = s == 1
             else:
-                k_att, v_att = ck.astype(self.dtype), cv.astype(self.dtype)
+                ck, cv = dus(ck, k), dus(cv, v)
+            new_cache = (ck, cv, ks, vs)
+            if s > 1:
+                # Prefill writes at offset 0: the fresh full-precision k/v ARE
+                # the cache contents — attend them directly (exact even with
+                # a quantized cache).
+                k_att, v_att = k, v
+            else:
+                k_att, v_att = ck, cv
         else:
             k_att, v_att = k, v
 
@@ -139,11 +163,14 @@ class Attention(nn.Module):
         use_flash = (cfg.use_flash_attention and lens is not None and s > 1
                      and k_att.shape[1] == s
                      and jax.default_backend() == "tpu")
-        if use_flash:
+        if quantized_decode:
+            out = gqa_sdpa_quantized(q, k_att, ks, v_att, vs, mask=mask)
+        elif use_flash:
             out = flash_attention(q, k_att, v_att, lens, causal=True,
                                   block_q=256)
         else:
-            out = gqa_sdpa(q, k_att, v_att, mask=mask)
+            out = gqa_sdpa(q, k_att.astype(self.dtype),
+                           v_att.astype(self.dtype), mask=mask)
         out = out.reshape(b, s, cfg.num_heads * hd)
         return nn.Dense(cfg.hidden_size, use_bias=cfg.attention_bias,
                         dtype=self.dtype, name="o_proj")(out), new_cache
@@ -225,18 +252,29 @@ class DecoderModel(nn.Module):
         lens: Optional[jax.Array] = None,
     ):
         x = inputs_embeds.astype(self.dtype)
-        new_k, new_v = [], []
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         for i, layer in enumerate(self.layers):
-            cache_kv = None if cache is None else (cache.k[i], cache.v[i])
+            if cache is None:
+                cache_kv = None
+            else:
+                cache_kv = (cache.k[i], cache.v[i],
+                            cache.k_scale[i] if cache.k_scale else None,
+                            cache.v_scale[i] if cache.v_scale else None)
             x, new_cache = layer(x, positions, mask, cache_kv, write_index,
                                  lens)
             if new_cache is not None:
                 new_k.append(new_cache[0])
                 new_v.append(new_cache[1])
+                new_ks.append(new_cache[2])
+                new_vs.append(new_cache[3])
         x = self.norm_f(x)
         out_cache = None
         if cache is not None:
-            out_cache = KVCache(k=tuple(new_k), v=tuple(new_v))
+            quant = new_ks and new_ks[0] is not None
+            out_cache = KVCache(
+                k=tuple(new_k), v=tuple(new_v),
+                k_scale=tuple(new_ks) if quant else None,
+                v_scale=tuple(new_vs) if quant else None)
         return x, out_cache
 
 

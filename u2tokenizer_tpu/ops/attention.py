@@ -115,3 +115,54 @@ def relative_position_bias(table: jax.Array, seq_len: int, max_seq_len: int) -> 
     rel = pos[None, :] - pos[:, None] + (max_seq_len - 1)  # (S, S)
     bias = jnp.take(table, rel, axis=0)  # (S, S, H)
     return jnp.transpose(bias, (2, 0, 1))[None]
+
+
+def quantize_kv(x: jax.Array, eps: float = 1e-6):
+    """Per-(position, head) symmetric int8 quantization of K/V rows.
+
+    x: (B, S, H, D) -> (int8 values, (B, S, H, 1) scales). The scale factors
+    out of the attention algebra exactly: scores use k_int * k_scale and the
+    value reduction uses (probs * v_scale) @ v_int, so the cache is read from
+    HBM at one byte per element.
+    """
+    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, eps)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
+
+
+def gqa_sdpa_quantized(
+    q: jax.Array,            # (B, Sq, H, D)
+    k_int: jax.Array,        # (B, Sk, Hkv, D) int8
+    k_scale: jax.Array,      # (B, Sk, Hkv, 1)
+    v_int: jax.Array,        # (B, Sk, Hkv, D) int8
+    v_scale: jax.Array,      # (B, Sk, Hkv, 1)
+    *,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """GQA attention over an int8-quantized KV cache.
+
+    The int8 operands convert on the fly inside the dots (XLA fuses the
+    convert into the HBM read), so decode traffic halves versus bf16.
+    """
+    b, sq, h, d = q.shape
+    hkv, sk = k_int.shape[2], k_int.shape[1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    group = h // hkv
+    qg = q.reshape(b, sq, hkv, group, d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg,
+                        k_int.astype(q.dtype)) * jnp.asarray(scale, q.dtype)
+    # per-key dequantization factors out of the dot
+    scores = scores * jnp.transpose(k_scale.astype(q.dtype),
+                                    (0, 2, 3, 1))[:, :, None, :, :]
+    if mask is not None:
+        m = jnp.broadcast_to(mask, (b, h, sq, sk)).reshape(b, hkv, group, sq, sk)
+        scores = jnp.where(m, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    # fold per-key v scales into the probabilities
+    probs = probs * jnp.transpose(v_scale.astype(q.dtype),
+                                  (0, 2, 3, 1))[:, :, None, :, :]
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_int.astype(q.dtype))
+    return out.reshape(b, sq, h, d)
