@@ -1,0 +1,64 @@
+"""Collective-utility tests on the virtual 8-device mesh (shard_map)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from u2tokenizer_tpu.parallel.collectives import (
+    all_gather_features,
+    global_batch_mean,
+    reduce_dict,
+)
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+
+
+def test_all_gather_features_values_and_grads():
+    mesh = _mesh()
+    x = jnp.arange(16.0).reshape(8, 2)
+
+    f = shard_map(lambda x: all_gather_features(x, "data"), mesh,
+                  in_specs=P("data"), out_specs=P("data"))
+    # gather then re-shard: every device holds the full 8x2 -> out stacks to
+    # (64, 2) when viewed with the data spec; check the replicated content
+    f_rep = shard_map(lambda x: all_gather_features(x, "data"), mesh,
+                      in_specs=P("data"), out_specs=P(), check_rep=False)
+    np.testing.assert_array_equal(np.asarray(f_rep(x)), np.asarray(x))
+
+    # gradients flow back to every shard (the torch version needs a custom
+    # autograd Function for this)
+    def loss(x):
+        g = shard_map(lambda x: all_gather_features(x, "data"), mesh,
+                      in_specs=P("data"), out_specs=P(), check_rep=False)(x)
+        return jnp.sum(g ** 2)
+
+    grads = jax.grad(loss)(x)
+    np.testing.assert_allclose(np.asarray(grads), 2 * np.asarray(x))
+
+
+def test_reduce_dict():
+    mesh = _mesh()
+    vals = jnp.arange(8.0)
+
+    def body(v):
+        m = reduce_dict({"loss": v[0], "acc": v[0] * 2}, "data")
+        s = reduce_dict({"n": v[0]}, "data", average=False)
+        return m["loss"], m["acc"], s["n"]
+
+    loss, acc, n = shard_map(body, mesh, in_specs=P("data"),
+                             out_specs=(P(), P(), P()))(vals)
+    np.testing.assert_allclose(float(loss), 3.5)
+    np.testing.assert_allclose(float(acc), 7.0)
+    np.testing.assert_allclose(float(n), 28.0)
+
+
+def test_global_batch_mean():
+    mesh = _mesh()
+    x = jnp.arange(16.0).reshape(8, 2)
+    out = shard_map(lambda x: global_batch_mean(x, "data"), mesh,
+                    in_specs=P("data"), out_specs=P())(x)
+    np.testing.assert_allclose(float(out), np.mean(np.arange(16.0)))

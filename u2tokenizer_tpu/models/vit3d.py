@@ -72,9 +72,13 @@ class SelfAttentionBlock(nn.Module):
         qkv = nn.Dense(3 * self.hidden_size, use_bias=self.qkv_bias,
                        dtype=self.dtype, name="qkv")(x)
         # feature layout (qkv, heads, head_dim) — qkv-major, matching MONAI's
-        # "b h (qkv l d) -> qkv b l h d" rearrange.
-        qkv = qkv.reshape(b, s, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # "b h (qkv l d) -> qkv b l h d" rearrange. Slice instead of a 5-D
+        # reshape: the (B, S, 3, H, 64) intermediate tiles terribly on TPU
+        # (64-lane padding doubles it — a 4.5 GB temp at 256 chunks).
+        e3 = self.hidden_size
+        q = qkv[..., :e3].reshape(b, s, self.num_heads, head_dim)
+        k = qkv[..., e3:2 * e3].reshape(b, s, self.num_heads, head_dim)
+        v = qkv[..., 2 * e3:].reshape(b, s, self.num_heads, head_dim)
         if self.use_flash and jax.default_backend() == "tpu":
             out = flash_attention(q, k, v, block_q=512).reshape(b, s, e)
         else:
