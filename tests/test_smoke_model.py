@@ -98,3 +98,21 @@ def test_generate_matches_uncached_forward(tiny_model):
         cur = jnp.concatenate([cur, nxt_emb], axis=1)
     expected = np.stack(expected, axis=1)
     np.testing.assert_array_equal(toks, expected)
+
+
+def test_generate_single_token(tiny_model):
+    """max_new_tokens=1 (the VQA choice-letter path, eval/vqa.py) runs the
+    zero-iteration decode scan correctly."""
+    cfg, model, params, images, input_ids, question_ids = tiny_model
+    gen = GenerationConfig(max_new_tokens=1, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    gen_fn = make_multimodal_generate_fn(model, gen, cache_dtype=jnp.float32,
+                                         jit=False)
+    toks = gen_fn(params, input_ids, images, question_ids,
+                  jnp.array([24, 20], jnp.int32), jax.random.PRNGKey(0))
+    assert toks.shape == (2, 1)
+
+    # must equal the argmax of a plain forward at the last valid position
+    logits, _, _ = model.apply(params, input_ids, images, question_ids)
+    assert int(toks[0, 0]) == int(jnp.argmax(logits[0, 23]))
+    assert int(toks[1, 0]) == int(jnp.argmax(logits[1, 19]))
