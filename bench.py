@@ -29,8 +29,9 @@ import numpy as np
 
 A40_BASELINE_REPORTS_PER_MIN = 4.0  # estimated; see module docstring
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "16"))
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
 KV_DTYPE = __import__("os").environ.get("BENCH_KV", "int8")  # int8 | bf16
+WQ = __import__("os").environ.get("BENCH_WQ", "int8")  # int8 | bf16 | fp32
 PROMPT_LEN = 1024
 MAX_NEW_TOKENS = 768
 
@@ -68,6 +69,20 @@ def main():
         r, input_ids[:1], images[:1], question_ids[:1]))(rng)
     np.asarray(jax.tree_util.tree_leaves(params)[0])
     log(f"bench: init done in {time.time() - t0:.1f}s")
+
+    # Serving weight transform: decode is weight-streaming bound, so matrix
+    # params are cast to bf16 and (default) the decoder is weight-only
+    # int8-quantized (models/quantize.py).
+    from u2tokenizer_tpu.models.quantize import (
+        cast_for_inference, quantize_llm_weights, quantized_llm_config)
+
+    if WQ != "fp32":
+        params = jax.jit(cast_for_inference)(params)
+    if WQ == "int8":
+        params = jax.jit(quantize_llm_weights)(params)
+        model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
+    np.asarray(jax.tree_util.tree_leaves(params)[0])
+    log(f"bench: serving weights = {WQ}")
 
     gen = GenerationConfig(max_new_tokens=MAX_NEW_TOKENS, do_sample=False,
                            eos_token_id=-2, pad_token_id=0)
@@ -109,6 +124,7 @@ def main():
             "max_new_tokens": MAX_NEW_TOKENS,
             "seconds_per_batch": round(dt, 3),
             "kv_cache": KV_DTYPE,
+            "weights": WQ,
             "baseline_estimated": True,
             "baseline_reports_per_min_a40": A40_BASELINE_REPORTS_PER_MIN,
         },

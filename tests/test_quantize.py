@@ -1,0 +1,132 @@
+"""Weight-only int8 quantization: accuracy + serving-path smoke tests.
+
+The serving transform (models/quantize.py) must preserve model behavior:
+quantized logits stay within per-channel-int8 error of the exact path, and
+greedy decode agrees except at near-ties. Mirrors the reference's serving
+precision options (src/demo/online_demo.py 4/8-bit load flags)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from u2tokenizer_tpu.config import GenerationConfig, LLMConfig, U2ModelConfig
+from u2tokenizer_tpu.models.generate import (make_generate_fn,
+                                             make_multimodal_generate_fn)
+from u2tokenizer_tpu.models.llm.decoder import CausalLM
+from u2tokenizer_tpu.models.quantize import (cast_for_inference,
+                                             quantize_llm_weights,
+                                             quantized_llm_config)
+from u2tokenizer_tpu.models.u2_model import U2CausalLM
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    cfg = LLMConfig.tiny()
+    model = CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    emb_init = jnp.zeros((2, 16, cfg.hidden_size), jnp.float32)
+    params = model.init(rng, emb_init, jnp.zeros((2, 16), jnp.int32),
+                        jnp.ones((1, 1, 16, 16), bool))
+    return cfg, model, params, ids
+
+
+def _logits(model, params, ids):
+    emb = model.apply(params, ids, method="embed_tokens")
+    logits, _, _ = model.apply(params, emb, method="forward_embeds")
+    return logits
+
+
+def test_quantized_tree_structure(tiny_lm):
+    cfg, model, params, ids = tiny_lm
+    qparams = quantize_llm_weights(params)
+    inner = qparams["params"]["model"]
+    assert inner["embed_tokens"].dtype == jnp.int8
+    assert inner["embed_scale"].shape == (cfg.vocab_size, 1)
+    attn = inner["layers_0"]["self_attn"]
+    assert attn["q_proj"]["kernel"].dtype == jnp.int8
+    assert attn["q_proj"]["scale"].shape == (cfg.num_heads * cfg.head_dim,)
+    # norms untouched
+    assert inner["layers_0"]["input_layernorm"]["weight"].dtype == jnp.float32
+
+
+def test_quantized_logits_close(tiny_lm):
+    cfg, model, params, ids = tiny_lm
+    exact = np.asarray(_logits(model, params, ids))
+    qmodel = CausalLM(quantized_llm_config(cfg), dtype=jnp.float32)
+    qparams = quantize_llm_weights(params)
+    quant = np.asarray(_logits(qmodel, qparams, ids))
+    scale = np.abs(exact).max()
+    err = np.abs(quant - exact).max() / scale
+    assert err < 0.05, f"relative logits error {err:.4f}"
+    # greedy agreement except near-ties
+    match = (exact.argmax(-1) == quant.argmax(-1)).mean()
+    assert match >= 0.9, f"greedy agreement {match:.3f}"
+
+
+def test_quantized_generate_matches(tiny_lm):
+    cfg, model, params, ids = tiny_lm
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    prompt_len = jnp.array([16, 12], jnp.int32)
+    att = jnp.arange(16)[None, :] < prompt_len[:, None]
+    emb = model.apply(params, ids * att, method="embed_tokens")
+
+    exact_fn = make_generate_fn(model, gen, cache_dtype=jnp.float32)
+    exact = np.asarray(exact_fn(params, emb, prompt_len, jax.random.PRNGKey(3)))
+
+    qmodel = CausalLM(quantized_llm_config(cfg), dtype=jnp.float32)
+    qparams = quantize_llm_weights(params)
+    qemb = qmodel.apply(qparams, ids * att, method="embed_tokens")
+    q_fn = make_generate_fn(qmodel, gen, cache_dtype=jnp.float32)
+    quant = np.asarray(q_fn(qparams, qemb, prompt_len, jax.random.PRNGKey(3)))
+    # Random-weight logits are near-uniform, so greedy trajectories diverge
+    # at the first near-tie and compound; the meaningful quantization check
+    # is single-step fidelity: the quantized first token must be within
+    # quantization error of the exact argmax under the EXACT logits.
+    exact_logits, _, _ = model.apply(
+        params, emb, attention_mask=att.astype(jnp.int32),
+        method="forward_embeds")
+    last = np.asarray(jnp.take_along_axis(
+        exact_logits, (prompt_len - 1)[:, None, None], axis=1))[:, 0]
+    spread = last.max() - last.min()
+    for row in range(last.shape[0]):
+        got = last[row, quant[row, 0]]
+        best = last[row].max()
+        assert got >= best - 0.05 * spread, (row, got, best)
+    assert quant.shape == exact.shape
+
+
+def test_cast_for_inference_dtypes(tiny_lm):
+    _, _, params, _ = tiny_lm
+    cast = cast_for_inference(params)
+    flat = jax.tree_util.tree_flatten_with_path(cast)[0]
+    for path, leaf in flat:
+        name = str(path)
+        if leaf.ndim >= 2:
+            assert leaf.dtype == jnp.bfloat16, name
+        elif jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, name
+
+
+def test_u2_quantized_multimodal_generate():
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    d, h, w = cfg.vision.input_spatial
+    images = jax.random.normal(rng, (1, cfg.num_chunks, d, h, w))
+    ids = jnp.zeros((1, 24), jnp.int32)
+    qids = jnp.ones((1, 6), jnp.int32)
+    params = model.init(rng, ids, images, qids)
+    params = quantize_llm_weights(cast_for_inference(params))
+    qmodel = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-2)
+    gen_fn = make_multimodal_generate_fn(qmodel, gen, cache_dtype="int8",
+                                         jit=False)
+    toks = gen_fn(params, ids, images, qids, jnp.array([24], jnp.int32),
+                  jax.random.PRNGKey(1))
+    assert toks.shape == (1, 4)
+    assert np.all(np.asarray(toks) >= 0)

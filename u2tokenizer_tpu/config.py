@@ -43,10 +43,19 @@ class VisionConfig:
     select_layer: int = -1  # -1 = final LN output (vit.py:148-155)
     select_feature: str = "patch"  # strip cls token (vit.py:157-162)
     use_flash_attention: bool = True  # Pallas kernel on TPU (ops/flash_attention.py)
+    # Which declared image_size index is depth. src flavor declares
+    # (H, W, D)=(256,256,32) (train_stage1.py:46-48, depth_axis=2); trained
+    # checkpoints declare (D, H, W)=(32,256,256)
+    # (base_model_tokenizers/.../config.json, depth_axis=0). The declared
+    # ordering also fixes the SPP grid arrangement (ProjectorConfig.grid_pre),
+    # so it is a parity contract per checkpoint flavor.
+    depth_axis: int = 2
 
     @property
     def input_spatial(self) -> Tuple[int, int, int]:
         """Actual (D, H, W) of the per-chunk input tensor."""
+        if self.depth_axis == 0:
+            return tuple(self.image_size)
         return (self.image_size[2], self.image_size[0], self.image_size[1])
 
     @property
@@ -124,6 +133,12 @@ class LLMConfig:
     num_kv_heads: int = 8
     head_dim: int = 128
     rope_theta: float = 1_000_000.0
+    # HF rope_scaling (type 'llama3'); None type = no scaling.
+    rope_scaling_type: Optional[str] = None
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = True
     qk_norm: bool = True  # Qwen3 per-head q/k RMSNorm
@@ -137,6 +152,11 @@ class LLMConfig:
     mlp_type: str = "swiglu"           # swiglu | gelu
     mlp_bias: bool = False
     lm_head_bias: bool = False
+    # Serving-time weight-only int8 quantization (models/quantize.py):
+    # kernels/embeddings stored int8 with per-channel scales; decode weight
+    # streaming halves vs bf16. Param trees are produced by
+    # quantize.quantize_llm_weights from a float checkpoint, never by init.
+    quantized_weights: bool = False
 
     @classmethod
     def qwen3_1_7b(cls, vocab_size: int = 151936) -> "LLMConfig":
@@ -152,12 +172,17 @@ class LLMConfig:
 
     @classmethod
     def llama_3_2_1b(cls, vocab_size: int = 128260) -> "LLMConfig":
+        # rope_scaling matches the released μ²Llama checkpoint config
+        # (base_model_tokenizers/Llama-3.2-1B-Instruct/config.json).
         return cls(
             model_type="llama", vocab_size=vocab_size, hidden_size=2048,
             intermediate_size=8192, num_layers=16, num_heads=32, num_kv_heads=8,
             head_dim=64, rope_theta=500_000.0, rms_norm_eps=1e-5,
             tie_word_embeddings=True, qk_norm=False,
             max_position_embeddings=131072,
+            rope_scaling_type="llama3", rope_scaling_factor=32.0,
+            rope_low_freq_factor=1.0, rope_high_freq_factor=4.0,
+            rope_original_max_position=8192,
         )
 
     @classmethod
@@ -196,6 +221,35 @@ class LLMConfig:
 
 
 @dataclass(frozen=True)
+class SegConfig:
+    """Promptable 3D segmentation head (models/seg.py).
+
+    Dims mirror the reference SegVol build (med3d_llm/modeling_m3d_lamed.py
+    :1300-1360: MONAI-ViT encoder 12L/768h over the full (32,256,256) volume,
+    two-way transformer depth 2 / 8 heads at transformer_dim=embed_dim)."""
+
+    enable: bool = False
+    image_size: Tuple[int, int, int] = (32, 256, 256)  # (D, H, W)
+    patch_size: Tuple[int, int, int] = (4, 16, 16)
+    encoder_dim: int = 768
+    encoder_layers: int = 12
+    encoder_heads: int = 12
+    prompt_dim: int = 768
+    decoder_layers: int = 2
+    decoder_heads: int = 8
+
+    @property
+    def feat_shape(self) -> Tuple[int, int, int]:
+        return tuple(i // p for i, p in zip(self.image_size, self.patch_size))
+
+    @classmethod
+    def tiny(cls) -> "SegConfig":
+        return cls(enable=True, image_size=(16, 32, 32), patch_size=(4, 8, 8),
+                   encoder_dim=32, encoder_layers=1, encoder_heads=2,
+                   prompt_dim=32, decoder_layers=1, decoder_heads=2)
+
+
+@dataclass(frozen=True)
 class U2ModelConfig:
     """Full μ²LLM = vision tower + projector + μ²tokenizer + decoder.
 
@@ -207,6 +261,7 @@ class U2ModelConfig:
     projector: ProjectorConfig = field(default_factory=ProjectorConfig)
     u2t: U2TokenizerConfig = field(default_factory=U2TokenizerConfig)
     llm: LLMConfig = field(default_factory=LLMConfig)
+    seg: SegConfig = field(default_factory=SegConfig)
     num_chunks: int = 8  # T: depth chunks per volume (u2Transform.py:93,120)
 
     @property
@@ -245,6 +300,7 @@ class U2ModelConfig:
             projector=build(ProjectorConfig, d.get("projector", {})),
             u2t=build(U2TokenizerConfig, d.get("u2t", {})),
             llm=build(LLMConfig, d.get("llm", {})),
+            seg=build(SegConfig, d.get("seg", {})),
             num_chunks=int(d.get("num_chunks", 8)),
         )
 
@@ -304,6 +360,15 @@ class DPOConfig:
     max_completion_length: int = 1024
     label_smoothing: float = 0.0
     loss_type: str = "sigmoid"  # sigmoid | ipo
+    # WPO weighting (dpo_u2trainer.py:320-329, arXiv 2406.11827 eq. 2)
+    use_weighting: bool = False
+    # RPO: add alpha * chosen-completion NLL (dpo_u2trainer.py:331-340)
+    rpo_alpha: Optional[float] = None
+    # TPU-native equivalent of TRL's padding-free path
+    # (dpo_u2trainer.py:300-310): chosen+rejected packed into ONE row with
+    # segment-masked attention and restarting positions, so the prompt and
+    # the vision encode run once per sample instead of twice.
+    packed: bool = False
 
 
 @dataclass(frozen=True)

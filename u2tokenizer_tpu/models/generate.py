@@ -97,23 +97,116 @@ def make_generate_fn(
     return generate
 
 
+def make_seg_generate_fn(
+    model: U2CausalLM,
+    gen: GenerationConfig,
+    seg_token_id: int,
+    cache_dtype=jnp.bfloat16,
+    jit: bool = True,
+) -> Callable:
+    """generate(..., seg_enable=True) parity (src/demo/demo.py:64).
+
+    Returns generate(params, input_ids, images, question_ids, prompt_len,
+    seg_image, rng) -> (tokens, seg_logits, has_seg):
+      1. standard multimodal generate;
+      2. one teacher-forced forward over [prompt ; generated tokens]
+         (identical layout/positions/masking to the decode loop) to recover
+         the hidden state at the first generated '[SEG]' token — exact, and
+         avoids threading hidden-state outputs through the decode scan;
+      3. seg_projector + SegVol3D on ``seg_image`` (B, 1, D, H, W).
+    has_seg is False for rows that generated no '[SEG]' (their mask logits
+    are computed with a zeroed prompt and should be ignored).
+    """
+    gen_fn = make_generate_fn(model, gen, cache_dtype)
+
+    def generate(params, input_ids, images, question_ids, prompt_len,
+                 seg_image, rng):
+        embeds = model.apply(params, input_ids, images, question_ids,
+                             method="prepare_inputs_embeds")
+        tokens = gen_fn(params, embeds, prompt_len, rng)
+        b, s, _ = embeds.shape
+        t = tokens.shape[1]
+
+        # teacher-forced re-run with the decode loop's layout: generated
+        # token i lives at row s+i with RoPE position prompt_len+i; the
+        # pad gap [prompt_len, s) is masked out of the keys.
+        tok_embeds = model.apply(params, tokens, method="embed_tokens")
+        full = jnp.concatenate([embeds.astype(tok_embeds.dtype), tok_embeds],
+                               axis=1)
+        idx = jnp.arange(s + t)
+        valid_key = (idx[None, :] < prompt_len[:, None]) | (idx[None, :] >= s)
+        causal = jnp.tril(jnp.ones((s + t, s + t), dtype=bool))
+        mask = causal[None, None] & valid_key[:, None, None, :]
+        positions = jnp.where(
+            idx[None, :] < s, idx[None, :],
+            prompt_len[:, None] + (idx[None, :] - s)).astype(jnp.int32)
+        _, hidden, _ = model.apply(params, full, mask=mask,
+                                   positions=positions, compute_logits=False,
+                                   method="forward_embeds")
+
+        is_seg = tokens == seg_token_id
+        has_seg = jnp.any(is_seg, axis=1)
+        first = jnp.argmax(is_seg, axis=1)  # 0 if none; gated by has_seg
+        seg_hidden = jnp.take_along_axis(
+            hidden, (s + first)[:, None, None], axis=1)[:, 0]
+        seg_hidden = jnp.where(has_seg[:, None], seg_hidden, 0.0)
+        seg_logits = model.apply(params, seg_image, seg_hidden,
+                                 method="segment")
+        return tokens, seg_logits, has_seg
+
+    if jit:
+        generate = jax.jit(generate)
+    return generate
+
+
+def _microbatched_embeds(model, params, input_ids, images, question_ids,
+                         vision_microbatch: int):
+    """prepare_inputs_embeds with the per-chunk ViT encode lax.map'ed over
+    sub-batches of ``vision_microbatch`` chunks.
+
+    At serving batch 64 the volume batch is 512 chunks; encoding them in one
+    shot holds multi-GB ViT attention temps (the B64 OOM). lax.map compiles
+    the tower once and bounds the transient to one sub-batch, while the
+    (tiny-flops) μ²tokenizer fuse and splice still run full-batch.
+    """
+    if images is None:
+        return model.apply(params, input_ids, images, question_ids,
+                           method="prepare_inputs_embeds")
+    b, t = images.shape[:2]
+    chunks = images.reshape(b * t, 1, *images.shape[2:])
+    n = chunks.shape[0]
+    if n <= vision_microbatch or n % vision_microbatch != 0:
+        return model.apply(params, input_ids, images, question_ids,
+                           method="prepare_inputs_embeds")
+    groups = chunks.reshape(n // vision_microbatch, vision_microbatch,
+                            *chunks.shape[1:])
+    feats = jax.lax.map(
+        lambda c: model.apply(params, c, method="encode_images"), groups)
+    feats = feats.reshape(b, t, feats.shape[-2], feats.shape[-1])
+    img = model.apply(params, feats, question_ids, method="fuse_vision")
+    return model.apply(params, input_ids, img, method="splice_embeds")
+
+
 def make_multimodal_generate_fn(
     model: U2CausalLM,
     gen: GenerationConfig,
     cache_dtype=jnp.bfloat16,
     jit: bool = True,
+    vision_microbatch: int = 128,
 ) -> Callable:
     """generate(params, input_ids, images, question_ids, prompt_len, rng):
     vision encode + splice + prefill + decode, end-to-end jitted.
 
     ``images`` may be None for text-only generation (matches the
     vision_input=None branch of the reference generate, u2qwen3.py:125-126).
+    ``vision_microbatch`` bounds the ViT's transient memory at large serving
+    batches (see _microbatched_embeds).
     """
     gen_fn = make_generate_fn(model, gen, cache_dtype)
 
     def generate(params, input_ids, images, question_ids, prompt_len, rng):
-        embeds = model.apply(params, input_ids, images, question_ids,
-                             method="prepare_inputs_embeds")
+        embeds = _microbatched_embeds(model, params, input_ids, images,
+                                      question_ids, vision_microbatch)
         return gen_fn(params, embeds, prompt_len, rng)
 
     if jit:

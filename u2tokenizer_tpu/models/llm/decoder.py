@@ -54,12 +54,15 @@ class KVCache:
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
         if dtype in ("int8", jnp.int8):
-            sshape = (batch, max_len, cfg.num_kv_heads, 1)
+            # scales live as (B, Hkv, S) fp32: a trailing dim of 1 would be
+            # lane-padded 1->128 by the TPU tiler (measured: 14 GB of pure
+            # padding at B64), while (Hkv, S) tiles exactly.
+            sshape = (batch, cfg.num_kv_heads, max_len)
             zeros = lambda sh, dt: tuple(jnp.zeros(sh, dt)
                                          for _ in range(cfg.num_layers))
             return cls(k=zeros(shape, jnp.int8), v=zeros(shape, jnp.int8),
-                       k_scale=zeros(sshape, jnp.bfloat16),
-                       v_scale=zeros(sshape, jnp.bfloat16))
+                       k_scale=zeros(sshape, jnp.float32),
+                       v_scale=zeros(sshape, jnp.float32))
         return cls(k=tuple(jnp.zeros(shape, dtype)
                            for _ in range(cfg.num_layers)),
                    v=tuple(jnp.zeros(shape, dtype)
@@ -92,6 +95,45 @@ def make_norm(cfg: LLMConfig, dtype, name: str) -> nn.Module:
     return RMSNorm(cfg.rms_norm_eps, dtype, name=name)
 
 
+class QDense(nn.Module):
+    """Dense layer with optional weight-only int8 quantization.
+
+    Param-tree compatible with ``nn.Dense`` when ``quantized=False`` (same
+    kernel/bias names, shapes and initializers). When ``quantized=True`` the
+    kernel is stored int8 with a per-output-channel ``scale``; the int8→bf16
+    convert fuses into the matmul's HBM read on TPU, so decode-time weight
+    streaming is one byte per element. Quantized trees are produced by
+    ``models.quantize.quantize_llm_weights`` from a float checkpoint — init
+    of a quantized module yields placeholder zeros.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    quantized: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        if self.quantized:
+            kernel = self.param(
+                "kernel", lambda rng, shape: jnp.zeros(shape, jnp.int8),
+                (in_features, self.features))
+            scale = self.param("scale", nn.initializers.ones,
+                               (self.features,), jnp.float32)
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+            y = y * scale.astype(self.dtype)
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (in_features, self.features), jnp.float32)
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Attention(nn.Module):
     cfg: LLMConfig
     dtype: Dtype = jnp.bfloat16
@@ -109,8 +151,9 @@ class Attention(nn.Module):
         cfg = self.cfg
         b, s, _ = x.shape
         hd = cfg.head_dim
-        proj = lambda feats, name: nn.Dense(
-            feats, use_bias=cfg.attention_bias, dtype=self.dtype, name=name)
+        proj = lambda feats, name: QDense(
+            feats, use_bias=cfg.attention_bias, dtype=self.dtype,
+            quantized=cfg.quantized_weights, name=name)
 
         q = proj(cfg.num_heads * hd, "q_proj")(x).reshape(b, s, cfg.num_heads, hd)
         k = proj(cfg.num_kv_heads * hd, "k_proj")(x).reshape(b, s, cfg.num_kv_heads, hd)
@@ -123,7 +166,11 @@ class Attention(nn.Module):
         rot_dim = int(hd * cfg.partial_rotary_factor)
         # round to even (half-rotate layout needs an even dim)
         rot_dim -= rot_dim % 2
-        cos, sin = rope_cos_sin(positions, rot_dim, cfg.rope_theta)
+        scaling = (cfg.rope_scaling_type, cfg.rope_scaling_factor,
+                   cfg.rope_low_freq_factor, cfg.rope_high_freq_factor,
+                   cfg.rope_original_max_position)
+        cos, sin = rope_cos_sin(positions, rot_dim, cfg.rope_theta,
+                                scaling=scaling)
         if rot_dim == hd:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
@@ -143,7 +190,11 @@ class Attention(nn.Module):
                 k_q, k_s = quantize_kv(k)
                 v_q, v_s = quantize_kv(v)
                 ck, cv = dus(ck, k_q), dus(cv, v_q)
-                ks, vs = dus(ks, k_s), dus(vs, v_s)
+                # scales: (B, S, Hkv, 1) -> (B, Hkv, S) storage layout
+                dus_s = lambda buf, val: jax.lax.dynamic_update_slice(
+                    buf, jnp.transpose(val[..., 0], (0, 2, 1)).astype(
+                        buf.dtype), (0, 0, write_index))
+                ks, vs = dus_s(ks, k_s), dus_s(vs, v_s)
                 quantized_decode = s == 1
             else:
                 ck, cv = dus(ck, k), dus(cv, v)
@@ -172,8 +223,7 @@ class Attention(nn.Module):
             out = gqa_sdpa(q, k_att.astype(self.dtype),
                            v_att.astype(self.dtype), mask=mask)
         out = out.reshape(b, s, cfg.num_heads * hd)
-        return nn.Dense(cfg.hidden_size, use_bias=cfg.attention_bias,
-                        dtype=self.dtype, name="o_proj")(out), new_cache
+        return proj(cfg.hidden_size, "o_proj")(out), new_cache
 
 
 class MLP(nn.Module):
@@ -185,18 +235,16 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        dense = lambda feats, bias, name: QDense(
+            feats, use_bias=bias, dtype=self.dtype,
+            quantized=cfg.quantized_weights, name=name)
         if cfg.mlp_type == "gelu":
-            h = nn.Dense(cfg.intermediate_size, use_bias=cfg.mlp_bias,
-                         dtype=self.dtype, name="fc1")(x)
+            h = dense(cfg.intermediate_size, cfg.mlp_bias, "fc1")(x)
             h = nn.gelu(h, approximate=True)  # HF gelu_new
-            return nn.Dense(cfg.hidden_size, use_bias=cfg.mlp_bias,
-                            dtype=self.dtype, name="fc2")(h)
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
-                        name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=self.dtype,
-                      name="up_proj")(x)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="down_proj")(nn.silu(gate) * up)
+            return dense(cfg.hidden_size, cfg.mlp_bias, "fc2")(h)
+        gate = dense(cfg.intermediate_size, False, "gate_proj")(x)
+        up = dense(cfg.intermediate_size, False, "up_proj")(x)
+        return dense(cfg.hidden_size, False, "down_proj")(nn.silu(gate) * up)
 
 
 class DecoderLayer(nn.Module):
@@ -227,9 +275,19 @@ class DecoderModel(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.embed_tokens = self.param(
-            "embed_tokens", nn.initializers.normal(stddev=0.02),
-            (self.cfg.vocab_size, self.cfg.hidden_size), jnp.float32)
+        if self.cfg.quantized_weights:
+            # int8 per-row quantized table; rows rescale on lookup and the
+            # tied lm_logits matmul reads one byte per element.
+            self.embed_tokens = self.param(
+                "embed_tokens", lambda rng, shape: jnp.zeros(shape, jnp.int8),
+                (self.cfg.vocab_size, self.cfg.hidden_size))
+            self.embed_scale = self.param(
+                "embed_scale", nn.initializers.ones,
+                (self.cfg.vocab_size, 1), jnp.float32)
+        else:
+            self.embed_tokens = self.param(
+                "embed_tokens", nn.initializers.normal(stddev=0.02),
+                (self.cfg.vocab_size, self.cfg.hidden_size), jnp.float32)
         layer_cls = DecoderLayer
         if self.remat:
             layer_cls = nn.remat(
@@ -240,7 +298,11 @@ class DecoderModel(nn.Module):
         self.norm_f = make_norm(self.cfg, self.dtype, "norm")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        return jnp.take(self.embed_tokens, input_ids, axis=0).astype(self.dtype)
+        rows = jnp.take(self.embed_tokens, input_ids, axis=0).astype(self.dtype)
+        if self.cfg.quantized_weights:
+            rows = rows * jnp.take(self.embed_scale, input_ids,
+                                   axis=0).astype(self.dtype)
+        return rows
 
     def __call__(
         self,
@@ -293,9 +355,11 @@ class CausalLM(nn.Module):
     def setup(self):
         self.model = DecoderModel(self.cfg, self.dtype, self.remat)
         if not self.cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(self.cfg.vocab_size,
-                                    use_bias=self.cfg.lm_head_bias,
-                                    dtype=self.dtype, name="lm_head")
+            self.lm_head = QDense(self.cfg.vocab_size,
+                                  use_bias=self.cfg.lm_head_bias,
+                                  dtype=self.dtype,
+                                  quantized=self.cfg.quantized_weights,
+                                  name="lm_head")
 
     def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.model.embed(input_ids)
@@ -328,8 +392,13 @@ class CausalLM(nn.Module):
     def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """Project hidden states to vocabulary logits (fp32)."""
         if self.cfg.tie_word_embeddings:
-            return hidden.astype(jnp.float32) @ jnp.transpose(
+            logits = hidden.astype(jnp.float32) @ jnp.transpose(
                 self.model.embed_tokens).astype(jnp.float32)
+            if self.cfg.quantized_weights:
+                # per-row dequantization factors out of the dot
+                logits = logits * jnp.transpose(
+                    self.model.embed_scale).astype(jnp.float32)
+            return logits
         return self.lm_head(hidden).astype(jnp.float32)
 
     def __call__(

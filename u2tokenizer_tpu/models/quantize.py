@@ -1,0 +1,95 @@
+"""Serving-time weight transforms: bf16 cast + weight-only int8 quantization.
+
+The decode loop is weight-streaming bound (BENCHMARKS.md: ~9 ms/step at B16
+vs a ~4 ms bf16 roofline — fp32 params double every HBM read). For serving:
+
+  * ``cast_for_inference``: cast all matrix-shaped float params to bfloat16
+    (norm weights and biases stay fp32 — they're tiny and accuracy-critical).
+  * ``quantize_llm_weights``: convert every decoder Dense ``kernel`` to int8
+    with a per-output-channel ``scale``, and the embedding table to int8 with
+    a per-row ``embed_scale`` (the tied lm_logits matmul then reads one byte
+    per element). The resulting tree loads into a model built with
+    ``LLMConfig(quantized_weights=True)`` (decoder.QDense / DecoderModel).
+
+The reference serves bf16/fp16 via HF (src/demo/online_demo.py:20-269 offers
+4/8-bit bitsandbytes); this is the TPU-native equivalent — per-channel
+symmetric int8, dequantization folded into the matmul epilogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_for_inference(params, dtype=jnp.bfloat16):
+    """Cast float params with ndim >= 2 to ``dtype``; keep 1D (norm/bias) fp32."""
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) \
+                and x.ndim >= 2:
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)
+
+
+def _quantize_channels(w: jax.Array, axis: int, eps: float = 1e-8):
+    """Symmetric int8 quantization of ``w`` per slice along ``axis``."""
+    reduce_axes = tuple(i for i in range(w.ndim) if i != axis)
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes,
+                    keepdims=True) / 127.0
+    scale = jnp.maximum(scale, eps)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _quantize_tree(node: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for key, val in node.items():
+        if isinstance(val, dict):
+            if "kernel" in val and not isinstance(val["kernel"], dict) \
+                    and val["kernel"].ndim == 2:
+                kernel = val["kernel"]
+                q, scale = _quantize_channels(kernel, axis=1)
+                new = {"kernel": q, "scale": scale.reshape(-1)}
+                if "bias" in val:
+                    new["bias"] = val["bias"].astype(jnp.float32)
+                out[key] = new
+            else:
+                out[key] = _quantize_tree(val)
+        elif key == "embed_tokens" and val.ndim == 2:
+            q, scale = _quantize_channels(val, axis=0)
+            out["embed_tokens"] = q
+            out["embed_scale"] = scale.reshape(-1, 1)
+        else:
+            out[key] = val
+    return out
+
+
+def quantize_llm_weights(params):
+    """Quantize the decoder subtree of a param tree to weight-only int8.
+
+    Accepts either a full U2CausalLM tree ({'params': {'llm': ...}}) or a
+    bare CausalLM tree ({'params': ...}); only the decoder weights are
+    quantized — vision tower / projector / μ²tokenizer stay in float (they
+    are compute-bound, not weight-streaming bound).
+    """
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    inner = dict(params["params"])
+    if "llm" in inner:
+        inner["llm"] = _quantize_tree(inner["llm"])
+    else:
+        inner = _quantize_tree(inner)
+    return {**params, "params": inner}
+
+
+def quantized_llm_config(cfg):
+    """Return a copy of an LLMConfig or U2ModelConfig with quantized weights."""
+    if hasattr(cfg, "llm"):
+        return dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, quantized_weights=True))
+    return dataclasses.replace(cfg, quantized_weights=True)

@@ -55,6 +55,14 @@ class U2CausalLM(nn.Module):
                 self.cfg.llm.hidden_size, self.cfg.u2t, self.dtype,
                 name="u2tokenizer")
         self.llm = CausalLM(self.cfg.llm, self.dtype, self.remat, name="llm")
+        if self.cfg.seg.enable:
+            from .seg import SegProjector, SegVol3D
+
+            self.seg_module = SegVol3D(self.cfg.seg, self.dtype,
+                                       name="seg_module")
+            self.seg_projector = SegProjector(self.cfg.seg.prompt_dim,
+                                              self.dtype,
+                                              name="seg_projector")
 
     # --- vision ---
 
@@ -71,24 +79,40 @@ class U2CausalLM(nn.Module):
         b, t = images.shape[:2]
         chunks = images.reshape(b * t, 1, *images.shape[2:])
         feats = self.encode_images(chunks)
+        return self.fuse_vision(
+            feats.reshape(b, t, feats.shape[-2], feats.shape[-1]),
+            question_ids)
+
+    def fuse_vision(self, v_tokens: jnp.ndarray,
+                    question_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """(B, T, N, E) per-chunk projected features -> (B, n_img, E) image
+        tokens (μ²tokenizer fuse or flat concat). Split out from
+        encode_vision so callers can microbatch the chunk encode
+        (generate._microbatched_embeds)."""
+        b, t = v_tokens.shape[:2]
         if self.cfg.u2t.enable:
-            v_tokens = feats.reshape(b, t, feats.shape[-2], feats.shape[-1])
             t_tokens = self.llm.embed_tokens(question_ids)
             return self.u2tokenizer(v_tokens, t_tokens)
-        return feats.reshape(b, t * feats.shape[-2], feats.shape[-1])
+        return v_tokens.reshape(b, t * v_tokens.shape[-2], v_tokens.shape[-1])
+
+    def splice_embeds(self, input_ids: jnp.ndarray,
+                      image_features: jnp.ndarray) -> jnp.ndarray:
+        """Splice precomputed image tokens into the prompt embeddings
+        (the u2_arch.py:115-116 contract)."""
+        embeds = self.llm.embed_tokens(input_ids)
+        img = image_features.astype(embeds.dtype)
+        n = img.shape[1]
+        return jnp.concatenate([embeds[:, :1], img, embeds[:, 1 + n:]], axis=1)
 
     # --- multimodal splice ---
 
     def prepare_inputs_embeds(self, input_ids: jnp.ndarray,
                               images: Optional[jnp.ndarray],
                               question_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
-        embeds = self.llm.embed_tokens(input_ids)
         if images is None:
-            return embeds
-        img = self.encode_vision(images, question_ids).astype(embeds.dtype)
-        n = img.shape[1]
-        return jnp.concatenate(
-            [embeds[:, :1], img, embeds[:, 1 + n:]], axis=1)
+            return self.llm.embed_tokens(input_ids)
+        return self.splice_embeds(
+            input_ids, self.encode_vision(images, question_ids))
 
     # --- forward ---
 
@@ -132,3 +156,28 @@ class U2CausalLM(nn.Module):
 
     def lm_logits(self, hidden):
         return self.llm.lm_logits(hidden)
+
+    def forward_seg(self, input_ids, images, question_ids, seg_image,
+                    seg_positions, attention_mask=None):
+        """LM forward + mask logits from the '[SEG]' hidden states.
+
+        seg_positions: (B,) index of the [SEG] token per row (training: from
+        the labels; inference: from the generated ids). Serves as the init
+        target for models with cfg.seg.enable and as the joint-training
+        forward (LM CE + BCE/Dice, train_stage1.py seg_enable collator)."""
+        logits, hidden, _ = self(input_ids, images, question_ids,
+                                 attention_mask)
+        seg_hidden = jnp.take_along_axis(
+            hidden, seg_positions[:, None, None], axis=1)[:, 0]
+        masks = self.segment(seg_image, seg_hidden)
+        return logits, masks
+
+    def segment(self, seg_image: jnp.ndarray,
+                seg_hidden: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """(B, 1, D, H, W) volume + (B, llm_hidden) '[SEG]' hidden state ->
+        (B, 1, D, H, W) mask logits (generate(..., seg_enable=True) parity,
+        src/demo/demo.py:64)."""
+        prompt = None
+        if seg_hidden is not None:
+            prompt = self.seg_projector(seg_hidden)
+        return self.seg_module(seg_image, prompt)

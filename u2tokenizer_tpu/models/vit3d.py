@@ -38,22 +38,53 @@ class PatchEmbed3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (B, C, D, H, W)
+        # x: (B, C, D, H, W); patch grid row-major over (D, H, W) with
+        # features ordered (pd, ph, pw, c) as in the reference rearrange.
         b, c, d, h, w = x.shape
         pd, ph, pw = self.cfg.patch_size
         gd, gh, gw = d // pd, h // ph, w // pw
-        x = x.reshape(b, c, gd, pd, gh, ph, gw, pw)
-        # -> (B, gd, gh, gw, pd, ph, pw, C): patch grid row-major over (D,H,W),
-        # features ordered (pd, ph, pw, c) as in the reference rearrange.
-        x = jnp.transpose(x, (0, 2, 4, 6, 3, 5, 7, 1))
-        x = x.reshape(b, gd * gh * gw, pd * ph * pw * c)
-        x = nn.Dense(self.cfg.hidden_size, dtype=self.dtype,
-                     name="proj")(x)
+        y = _ConvProj(self.cfg.hidden_size, self.cfg.patch_size, c,
+                      self.dtype, name="proj")(x)
+        y = y.reshape(b, gd * gh * gw, self.cfg.hidden_size)
         pos = self.param(
             "position_embeddings",
             nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0),
             (1, gd * gh * gw, self.cfg.hidden_size), jnp.float32)
-        return x + pos.astype(x.dtype)
+        return y + pos.astype(y.dtype)
+
+
+class _ConvProj(nn.Module):
+    """Patch projection with Dense-layout params, conv lowering.
+
+    Params keep the flattened (pd*ph*pw*c, F) 'kernel' (+'bias') layout —
+    the M3D-CLIP weight-converter contract (hf_weights.convert_vit) — but
+    the contraction runs as a strided conv: the naive 8-D reshape+transpose
+    materializes a (B, gd, pd, gh, ph, gw, pw, C) temp whose 16-wide minor
+    dims tile-pad 8x on TPU (measured: a 16 GB temp at 512 chunks, the B64
+    serving OOM); XLA lowers the conv with no such temp.
+    """
+
+    features: int
+    patch: Any
+    in_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pd, ph, pw = self.patch
+        flat = pd * ph * pw * self.in_channels
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (flat, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        # flattened feature index = ((ipd*ph + iph)*pw + ipw)*c + ic, so the
+        # conv rhs is the kernel reshaped to (pd, ph, pw, c, F) verbatim.
+        k = kernel.astype(self.dtype).reshape(
+            pd, ph, pw, self.in_channels, self.features)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, window_strides=(pd, ph, pw),
+            padding="VALID", dimension_numbers=("NCDHW", "DHWIO", "NDHWC"))
+        return y + bias.astype(self.dtype)
 
 
 class SelfAttentionBlock(nn.Module):

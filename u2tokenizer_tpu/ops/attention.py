@@ -134,9 +134,9 @@ def quantize_kv(x: jax.Array, eps: float = 1e-6):
 def gqa_sdpa_quantized(
     q: jax.Array,            # (B, Sq, H, D)
     k_int: jax.Array,        # (B, Sk, Hkv, D) int8
-    k_scale: jax.Array,      # (B, Sk, Hkv, 1)
+    k_scale: jax.Array,      # (B, Hkv, Sk)
     v_int: jax.Array,        # (B, Sk, Hkv, D) int8
-    v_scale: jax.Array,      # (B, Sk, Hkv, 1)
+    v_scale: jax.Array,      # (B, Hkv, Sk)
     *,
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
@@ -145,6 +145,8 @@ def gqa_sdpa_quantized(
 
     The int8 operands convert on the fly inside the dots (XLA fuses the
     convert into the HBM read), so decode traffic halves versus bf16.
+    Scales arrive in the padding-free (B, Hkv, Sk) storage layout
+    (see KVCache.create).
     """
     b, sq, h, d = q.shape
     hkv, sk = k_int.shape[2], k_int.shape[1]
@@ -155,14 +157,12 @@ def gqa_sdpa_quantized(
     scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg,
                         k_int.astype(q.dtype)) * jnp.asarray(scale, q.dtype)
     # per-key dequantization factors out of the dot
-    scores = scores * jnp.transpose(k_scale.astype(q.dtype),
-                                    (0, 2, 3, 1))[:, :, None, :, :]
+    scores = scores * k_scale.astype(q.dtype)[:, :, None, None, :]
     if mask is not None:
         m = jnp.broadcast_to(mask, (b, h, sq, sk)).reshape(b, hkv, group, sq, sk)
         scores = jnp.where(m, scores, jnp.finfo(scores.dtype).min)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     # fold per-key v scales into the probabilities
-    probs = probs * jnp.transpose(v_scale.astype(q.dtype),
-                                  (0, 2, 3, 1))[:, :, None, :, :]
+    probs = probs * v_scale.astype(q.dtype)[:, :, None, None, :]
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_int.astype(q.dtype))
     return out.reshape(b, sq, h, d)
