@@ -1,0 +1,158 @@
+"""Parity vs. the TRAINED-CHECKPOINT (remote-code) module flavor.
+
+The released μ² checkpoints vendor their own u2Tokenizer
+(base_model_tokenizers/Llama-3.2-1B-Instruct/u2Tokenizer.py) which differs
+from src/model: an ``enable_rpe`` bool replaces ``attn_type``, and
+enable_rpe=False uses stock torch nn.MultiheadAttention (fused in_proj
+weights). The released config.json also declares image_size depth-first and
+uses llama3 rope scaling. These tests prove the converter + config mapping
+load that exact layout: a synthetic state dict in the trained-checkpoint key
+layout converts and matches the vendored torch module numerically, and the
+config.json maps onto our dataclasses so released checkpoints would load
+unchanged (VERDICT r1 item 4).
+"""
+
+import importlib.util
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from golden_utils import randomize_torch_module, t2n
+
+from u2tokenizer_tpu.config import U2TokenizerConfig
+from u2tokenizer_tpu.models.hf_weights import (_attn_params, _convert_u2tok,
+                                               llm_config_from_hf,
+                                               u2_config_from_hf)
+from u2tokenizer_tpu.models.u2tok.attention import VanillaMultiheadAttention
+from u2tokenizer_tpu.models.u2tok.u2tokenizer import U2Tokenizer
+
+CKPT_DIR = "/root/reference/base_model_tokenizers/Llama-3.2-1B-Instruct"
+E, HEADS, LAYERS, TOPK, NQ = 64, 4, 2, 8, 8
+
+
+def _load_vendored():
+    spec = importlib.util.spec_from_file_location(
+        "vendored_u2tok", f"{CKPT_DIR}/u2Tokenizer.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def assert_close_scaled(out, ref, tol=3e-5):
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=tol * scale)
+
+
+@pytest.mark.parametrize("diffts,dmtp", [(False, False), (True, True)])
+def test_trained_layout_u2tokenizer_parity(diffts, dmtp):
+    """Full μ²tokenizer, trained-checkpoint key layout, enable_rpe=True
+    (the released flagship configuration: config.json enable_rpe/diffts/dmtp
+    all true)."""
+    mod = _load_vendored()
+    tm = mod.u2Tokenizer(
+        embed_size=E, num_heads=HEADS, num_layers=LAYERS, top_k=TOPK,
+        use_multi_scale=True, num_3d_query_token=NQ, hidden_size=E,
+        enable_rpe=True, enable_diffts=diffts, enable_dmtp=dmtp)
+    randomize_torch_module(tm, seed=7, std=0.1)
+
+    g = torch.Generator().manual_seed(11)
+    v = torch.randn(1, 4, 16, E, generator=g) * 0.5
+    t = torch.randn(1, 12, E, generator=g) * 0.5
+    with torch.no_grad():
+        ref = t2n(tm(v, t))
+
+    sd = {k: t2n(p) for k, p in tm.state_dict().items()}
+    from u2tokenizer_tpu.config import U2ModelConfig
+
+    cfg = U2ModelConfig.tiny()
+    import dataclasses
+    u2t = dataclasses.replace(
+        cfg.u2t, num_heads=HEADS, num_layers=LAYERS, top_k=TOPK,
+        num_query_tokens=NQ, attn_type="rma", enable_diffts=diffts,
+        enable_dmtp=dmtp, max_seq_len=512)
+    cfg = dataclasses.replace(cfg, u2t=u2t)
+    params = {"params": _convert_u2tok(sd, cfg)}
+    fm = U2Tokenizer(E, u2t, dtype=jnp.float32)
+    out = fm.apply(params, jnp.asarray(t2n(v)), jnp.asarray(t2n(t)))
+    assert_close_scaled(out, ref)
+
+
+def test_in_proj_attention_conversion():
+    """enable_rpe=False flavor: stock nn.MultiheadAttention fused in_proj
+    splits into our wq/wk/wv/dense (batch-first correspondence)."""
+    tm = torch.nn.MultiheadAttention(E, HEADS)
+    randomize_torch_module(tm, seed=3, std=0.2)
+    g = torch.Generator().manual_seed(5)
+    x = torch.randn(2, 10, E, generator=g)  # batch-first
+    with torch.no_grad():  # torch default is seq-first: transpose both ways
+        ref, _ = tm(x.transpose(0, 1), x.transpose(0, 1), x.transpose(0, 1))
+        ref = t2n(ref.transpose(0, 1))
+
+    sd = {k: t2n(p) for k, p in tm.state_dict().items()}
+    params = {"params": _attn_params(sd, "")}
+    fm = VanillaMultiheadAttention(E, HEADS, dtype=jnp.float32)
+    out = fm.apply(params, jnp.asarray(t2n(x)), jnp.asarray(t2n(x)),
+                   jnp.asarray(t2n(x)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_released_config_json_maps():
+    """The actual released config.json builds a coherent U2ModelConfig."""
+    with open(f"{CKPT_DIR}/config.json") as f:
+        d = json.load(f)
+    cfg = u2_config_from_hf(d)
+    assert cfg.u2t.attn_type == "rma"          # enable_rpe: true
+    assert cfg.u2t.enable_diffts and cfg.u2t.enable_dmtp
+    assert cfg.u2t.top_k == 1024 and cfg.u2t.num_query_tokens == 256
+    # depth-first declared geometry: runtime (D,H,W)=(32,256,256)
+    assert cfg.vision.depth_axis == 0
+    assert cfg.vision.input_spatial == (32, 256, 256)
+    assert cfg.vision.num_patches == 2048
+    assert cfg.proj_out_num == 256
+    # decoder: Llama-3.2-1B with llama3 rope scaling
+    assert cfg.llm.model_type == "llama"
+    assert cfg.llm.num_layers == 16 and cfg.llm.head_dim == 64
+    assert cfg.llm.rope_scaling_type == "llama3"
+    assert cfg.llm.rope_scaling_factor == 32.0
+    assert cfg.llm.tie_word_embeddings
+
+
+def test_llama3_rope_scaling_decoder_parity():
+    """Decoder logits parity vs HF Llama with rope_scaling type llama3
+    (required by the released Llama-3.2 μ² checkpoints)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=500000.0, rms_norm_eps=1e-5, tie_word_embeddings=True,
+        max_position_embeddings=1024, attention_bias=False,
+        rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64})
+    hf_model = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = llm_config_from_hf(hf_cfg)
+    assert cfg.rope_scaling_type == "llama3"
+    assert cfg.rope_original_max_position == 64
+    from u2tokenizer_tpu.models.hf_weights import convert_decoder
+    from u2tokenizer_tpu.models.llm.decoder import CausalLM
+
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    params = {"params": convert_decoder(sd, cfg)}
+    model = CausalLM(cfg, dtype=jnp.float32)
+    ids = torch.randint(0, 128, (2, 48),
+                        generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        ref = hf_model(ids).logits.numpy()
+    ids_j = jnp.asarray(ids.numpy())
+    embeds = model.apply(params, ids_j, method=CausalLM.embed_tokens)
+    s = ids_j.shape[1]
+    positions = jnp.broadcast_to(jnp.arange(s), (2, s))
+    mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    logits, _, _ = model.apply(params, embeds, positions, mask)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-4, atol=2e-4)

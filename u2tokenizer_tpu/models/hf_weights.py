@@ -239,6 +239,23 @@ def convert_u2_checkpoint(sd: Mapping[str, np.ndarray],
 
 
 def _attn_params(sd, prefix, compress_used=False):
+    if prefix + "in_proj_weight" in sd:
+        # torch nn.MultiheadAttention layout — the trained-checkpoint flavor
+        # with enable_rpe=False (base_model_tokenizers/.../u2Tokenizer.py:92):
+        # fused (3E, E) in_proj splits into our wq/wk/wv.
+        w = np.asarray(sd[prefix + "in_proj_weight"], np.float32)
+        e = w.shape[0] // 3
+        p = {"wq": {"kernel": w[:e].T}, "wk": {"kernel": w[e:2 * e].T}}
+        if not compress_used:
+            p["wv"] = {"kernel": w[2 * e:].T}
+            p["dense"] = _linear(sd, prefix + "out_proj")
+        if prefix + "in_proj_bias" in sd:
+            b = np.asarray(sd[prefix + "in_proj_bias"], np.float32)
+            p["wq"]["bias"] = b[:e]
+            p["wk"]["bias"] = b[e:2 * e]
+            if not compress_used:
+                p["wv"]["bias"] = b[2 * e:]
+        return p
     p = {"wq": _linear(sd, prefix + "wq"), "wk": _linear(sd, prefix + "wk")}
     if not compress_used:
         if prefix + "wv.weight" in sd:
@@ -288,6 +305,61 @@ def _convert_u2tok(sd: Mapping[str, np.ndarray], cfg: U2ModelConfig) -> dict:
     return params
 
 
+def u2_config_from_hf(hf_config, num_chunks: int = 8) -> U2ModelConfig:
+    """Build a full U2ModelConfig from a trained μ² checkpoint config.
+
+    Covers the released remote-code checkpoints
+    (base_model_tokenizers/Llama-3.2-1B-Instruct/config.json): u2 attributes
+    (enable_u2tokenizer/u2t_*/enable_rpe/enable_diffts/enable_dmtp), projector
+    attributes (mm_projector_type/proj_*), vision geometry (image_size
+    declared depth-first in that flavor), and the decoder config including
+    llama3 rope_scaling. A checkpoint's config.json + state dict load
+    unchanged through (u2_config_from_hf, convert_u2_checkpoint).
+    """
+    from ..config import ProjectorConfig, U2TokenizerConfig, VisionConfig
+
+    get: Callable = (hf_config.get if isinstance(hf_config, dict)
+                     else lambda k, d=None: getattr(hf_config, k, d))
+    image_size = tuple(get("image_size") or (256, 256, 32))
+    patch_size = tuple(get("patch_size") or (4, 16, 16))
+    # trained checkpoints declare (D, H, W); src flavor declares (H, W, D)
+    depth_axis = 0 if image_size[0] <= min(image_size) else 2
+    vision = VisionConfig(
+        in_channels=int(get("image_channel", 1)),
+        image_size=image_size,
+        patch_size=patch_size,
+        hidden_size=int(get("mm_hidden_size", 768)),
+        select_layer=int(get("vision_select_layer", -1)),
+        select_feature=get("vision_select_feature", "patch"),
+        depth_axis=depth_axis,
+    )
+    projector = ProjectorConfig(
+        projector_type=get("mm_projector_type", "spp"),
+        layer_type=get("proj_layer_type", "mlp"),
+        layer_num=int(get("proj_layer_num", 2)),
+        pooling_type=get("proj_pooling_type", "spatial"),
+        pooling_size=int(get("proj_pooling_size", 2)),
+    )
+    if get("attn_type") is not None:  # src flavor
+        attn_type = get("attn_type")
+    else:  # checkpoint flavor: enable_rpe bool (u2Tokenizer.py:397)
+        attn_type = "rma" if get("enable_rpe", False) else "vanilla"
+    u2t = U2TokenizerConfig(
+        enable=bool(get("enable_u2tokenizer", True)),
+        num_heads=int(get("u2t_num_heads", 8)),
+        num_layers=int(get("u2t_num_layers", 4)),
+        top_k=int(get("u2t_top_k", 1024)),
+        use_multi_scale=bool(get("use_multi_scale", True)),
+        num_query_tokens=int(get("num_3d_query_token", 256)),
+        attn_type=attn_type,
+        enable_diffts=bool(get("enable_diffts", False)),
+        enable_dmtp=bool(get("enable_dmtp", False)),
+    )
+    return U2ModelConfig(vision=vision, projector=projector, u2t=u2t,
+                         llm=llm_config_from_hf(hf_config),
+                         num_chunks=num_chunks)
+
+
 def llm_config_from_hf(hf_config) -> LLMConfig:
     """Build our LLMConfig from a transformers config object or dict."""
     get: Callable = (hf_config.get if isinstance(hf_config, dict)
@@ -299,7 +371,15 @@ def llm_config_from_hf(hf_config) -> LLMConfig:
               "llama")
     nh = get("num_attention_heads")
     phi2 = family == "phi2"
+    rs = get("rope_scaling") or {}
+    rs_type = rs.get("rope_type") or rs.get("type") if rs else None
     return LLMConfig(
+        rope_scaling_type=rs_type,
+        rope_scaling_factor=float(rs.get("factor", 1.0)) if rs else 1.0,
+        rope_low_freq_factor=float(rs.get("low_freq_factor", 1.0)) if rs else 1.0,
+        rope_high_freq_factor=float(rs.get("high_freq_factor", 4.0)) if rs else 4.0,
+        rope_original_max_position=int(rs.get(
+            "original_max_position_embeddings", 8192)) if rs else 8192,
         model_type=family,
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
