@@ -30,6 +30,8 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
+        if step in (self._mgr.all_steps() or ()):  # idempotent: the final
+            return False  # force-save may coincide with an in-loop save
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force)
         self._mgr.wait_until_finished()
