@@ -444,6 +444,30 @@ def cmd_eval(args):
     print(f"wrote {args.output}", file=sys.stderr)
 
 
+def cmd_eval_predictions(args):
+    """Score an external predictions jsonl (any model's outputs) with the
+    full metric battery — the generic replacement for the reference's
+    per-model comparative drivers (evalscipt/m3d_*.py, radfm_*.py,
+    CT-CHAT_ctrate.py)."""
+    from .data.datasets import load_jsonl
+    from .eval.evaluators import evaluate_predictions
+    from .eval.green import GreenScorer
+
+    rows = load_jsonl(args.predictions)
+    scorer = None
+    if args.judge is not None:
+        judge_args = argparse.Namespace(judge=args.judge)
+        scorer = GreenScorer(_build_judge(judge_args),
+                             compute_summary_stats=False,
+                             judge_name=args.judge)
+    result = evaluate_predictions(rows, scorer,
+                                  compute_bertscore=not args.no_bertscore)
+    with open(args.output, "w") as f:
+        f.write(result.to_json())
+    print(json.dumps(result.metrics))
+    print(f"wrote {args.output}", file=sys.stderr)
+
+
 # ---------------------------------------------------------------------------
 # selftest
 # ---------------------------------------------------------------------------
@@ -701,6 +725,13 @@ def build_parser():
     ev.add_argument("--max-new-tokens", type=int, default=768)
     ev.add_argument("--max-cases", type=int, default=100)
     ev.set_defaults(fn=cmd_eval)
+
+    ep = sub.add_parser("eval-predictions")
+    ep.add_argument("--predictions", required=True)
+    ep.add_argument("--output", required=True)
+    ep.add_argument("--judge", default=None)
+    ep.add_argument("--no-bertscore", action="store_true")
+    ep.set_defaults(fn=cmd_eval_predictions)
 
     sv = sub.add_parser("serve")
     _add_common(sv)

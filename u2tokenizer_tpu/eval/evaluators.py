@@ -191,3 +191,46 @@ def evaluate_by_body_part(
     out["overall"] = evaluate_benchmark(all_refs, all_hyps, green_scorer,
                                         compute_bertscore=False)
     return out
+
+
+def evaluate_predictions(rows: Sequence[dict],
+                         green_scorer: Optional[GreenScorer] = None,
+                         compute_bertscore: bool = True) -> EvalResult:
+    """External-predictions driver: score ANY model's outputs jsonl with the
+    full §2.5 battery.
+
+    Covers the reference's comparative benchmark scripts (evalscipt/m3d_*.py,
+    radfm_*.py, CT-CHAT_ctrate.py) without porting their torch model
+    wrappers: those scripts all reduce to (reference, prediction) pairs fed
+    to the same metric battery. Rows need {"answer"| "reference", and
+    "prediction" | "predictions"[0]}; optional "body_part" adds the AMOS
+    per-part breakdown (evalscipt/ourmodel_amos.py:182-271).
+    """
+    result = EvalResult()
+    refs, hyps, parts = [], [], []
+    for row in rows:
+        ref = row.get("reference", row.get("answer"))
+        hyp = row.get("prediction")
+        if hyp is None:
+            preds = row.get("predictions") or []
+            hyp = preds[0] if preds else None
+        if ref is None or hyp is None:
+            continue
+        refs.append(ref)
+        hyps.append(hyp)
+        parts.append(row.get("body_part"))
+        result.rows.append({"reference": ref, "prediction": hyp,
+                            **({"body_part": row["body_part"]}
+                               if row.get("body_part") else {}),
+                            **score_report(ref, hyp)})
+    result.metrics = evaluate_benchmark(
+        refs, hyps, green_scorer, compute_bertscore=compute_bertscore)
+    if any(p for p in parts):
+        seen = sorted({p for p in parts if p})
+        for part in seen:
+            pr = [r for r, p in zip(refs, parts) if p == part]
+            ph = [h for h, p in zip(hyps, parts) if p == part]
+            sub = evaluate_benchmark(pr, ph, None, compute_bertscore=False)
+            for k, v in sub.items():
+                result.metrics[f"{part}_{k}"] = v
+    return result
