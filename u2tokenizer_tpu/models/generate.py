@@ -79,8 +79,18 @@ def make_generate_fn(
             key_ok = (kv_pos[None, :] < prompt_len[:, None]) | (
                 (kv_pos[None, :] >= s) & (kv_pos[None, :] <= s + i))
             mask = key_ok[:, None, None, :]
+            end = jnp.broadcast_to(jnp.int32(s) + i + 1, (b,))
+            # Fused Pallas decode attention is available but OFF by default:
+            # isolated it matches XLA (~1.0 ms at B64/S1792), but inside the
+            # decode scan the custom-call breaks XLA's in-place aliasing of
+            # the cache buffers and costs ~5% end-to-end (BENCHMARKS.md).
+            import os as _os
+            use_kernel = _os.environ.get("U2_DECODE_KERNEL", "0") == "1"
+            bounds = (prompt_len.astype(jnp.int32), end, s) if use_kernel \
+                else None
             logits, _, cache = model.apply(
                 params, emb, pos, mask, cache, jnp.int32(s) + i,
+                decode_bounds=bounds,
                 method="decode_step")
             nxt = sample(sub, logits[:, 0], do_sample=gen.do_sample,
                          temperature=gen.temperature, top_p=gen.top_p)

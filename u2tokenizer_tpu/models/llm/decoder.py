@@ -25,7 +25,9 @@ from flax import linen as nn
 from flax import struct
 
 from ...config import LLMConfig
-from ...ops.attention import gqa_sdpa, gqa_sdpa_quantized, quantize_kv
+from ...ops.attention import (gqa_sdpa, gqa_sdpa_headmajor,
+                              gqa_sdpa_quantized, quantize_kv)
+from ...ops.decode_attention import decode_attention_int8
 from ...ops.flash_attention import flash_attention
 from ...ops.rotary import apply_rope, rope_cos_sin
 
@@ -34,11 +36,14 @@ Dtype = Any
 
 @struct.dataclass
 class KVCache:
-    """Per-model KV cache: per-layer tuples of (B, max_len, n_kv, head_dim)
-    buffers. Per-layer buffers (instead of one stacked (L, ...) array) let
-    XLA alias each layer's dynamic_update_slice in place inside the decode
-    scan — a stacked cache forces slice+update+re-stack copies of the whole
-    cache every step.
+    """Per-model KV cache: per-layer tuples of (B, n_kv, max_len, head_dim)
+    buffers — HEAD-MAJOR, so each head's keys are contiguous: the decode
+    attention reads the cache per (batch, head) and a seq-major layout makes
+    every such read strided by n_kv*head_dim (measured 2-5x slower in both
+    the XLA and Pallas decode paths). Per-layer buffers (instead of one
+    stacked (L, ...) array) let XLA alias each layer's dynamic_update_slice
+    in place inside the decode scan — a stacked cache forces
+    slice+update+re-stack copies of the whole cache every step.
 
     Optional int8 quantization (``create(..., dtype="int8")``): values are
     stored int8 with per-(position, head) bf16 scales; decode reads half the
@@ -52,7 +57,7 @@ class KVCache:
     @classmethod
     def create(cls, cfg: LLMConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
-        shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         if dtype in ("int8", jnp.int8):
             # scales live as (B, Hkv, S) fp32: a trailing dim of 1 would be
             # lane-padded 1->128 by the TPU tiler (measured: 14 GB of pure
@@ -74,7 +79,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k[0].shape[1]
+        return self.k[0].shape[2]
 
 
 class RMSNorm(nn.Module):
@@ -147,6 +152,7 @@ class Attention(nn.Module):
         cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # (B, max, Hkv, D)
         write_index: Optional[jax.Array] = None,  # scalar int32: cache write offset
         lens: Optional[jax.Array] = None,  # (B,) right-pad valid lengths
+        decode_bounds=None,  # (prompt_len (B,), end (B,), s_prompt int)
     ):
         cfg = self.cfg
         b, s, _ = x.shape
@@ -182,10 +188,14 @@ class Attention(nn.Module):
 
         new_cache = None
         quantized_decode = False
+        cached_decode = False
         if cache_kv is not None:
             ck, cv, ks, vs = cache_kv
+            # cache buffers are head-major (B, Hkv, S, D); fresh k/v are
+            # seq-major (B, S, Hkv, D)
             dus = lambda buf, val: jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype), (0, write_index, 0, 0))
+                buf, jnp.transpose(val, (0, 2, 1, 3)).astype(buf.dtype),
+                (0, 0, write_index, 0))
             if ks is not None:  # int8 cache: quantize on write
                 k_q, k_s = quantize_kv(k)
                 v_q, v_s = quantize_kv(v)
@@ -206,6 +216,7 @@ class Attention(nn.Module):
                 k_att, v_att = k, v
             else:
                 k_att, v_att = ck, cv
+                cached_decode = True
         else:
             k_att, v_att = k, v
 
@@ -215,10 +226,21 @@ class Attention(nn.Module):
                      and k_att.shape[1] == s
                      and jax.default_backend() == "tpu")
         if quantized_decode:
-            out = gqa_sdpa_quantized(q, k_att, ks, v_att, vs, mask=mask)
+            if (decode_bounds is not None and cfg.use_flash_attention
+                    and jax.default_backend() == "tpu"):
+                # fused Pallas kernel: one pass over the int8 cache, scales
+                # and the two-interval decode mask applied in registers
+                plen, end, s_prompt = decode_bounds
+                out = decode_attention_int8(q, ck, ks, cv, vs, plen, end,
+                                            s_prompt)
+            else:
+                out = gqa_sdpa_quantized(q, k_att, ks, v_att, vs, mask=mask)
         elif use_flash:
             out = flash_attention(q, k_att, v_att, lens, causal=True,
                                   block_q=256)
+        elif cached_decode:
+            out = gqa_sdpa_headmajor(q, k_att.astype(self.dtype),
+                                     v_att.astype(self.dtype), mask=mask)
         else:
             out = gqa_sdpa(q, k_att.astype(self.dtype),
                            v_att.astype(self.dtype), mask=mask)
@@ -253,10 +275,10 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, mask, cache_kv=None, write_index=None,
-                 lens=None):
+                 lens=None, decode_bounds=None):
         y = make_norm(self.cfg, self.dtype, "input_layernorm")(x)
         attn_out, new_cache = Attention(self.cfg, self.dtype, name="self_attn")(
-            y, positions, mask, cache_kv, write_index, lens)
+            y, positions, mask, cache_kv, write_index, lens, decode_bounds)
         if self.cfg.parallel_block:
             # Phi-2: attention and MLP both read the same pre-LN activations
             x = x + attn_out + MLP(self.cfg, self.dtype, name="mlp")(y)
@@ -312,6 +334,7 @@ class DecoderModel(nn.Module):
         cache: Optional[KVCache] = None,
         write_index: Optional[jax.Array] = None,
         lens: Optional[jax.Array] = None,
+        decode_bounds=None,
     ):
         x = inputs_embeds.astype(self.dtype)
         new_k, new_v, new_ks, new_vs = [], [], [], []
@@ -323,7 +346,7 @@ class DecoderModel(nn.Module):
                             cache.k_scale[i] if cache.k_scale else None,
                             cache.v_scale[i] if cache.v_scale else None)
             x, new_cache = layer(x, positions, mask, cache_kv, write_index,
-                                 lens)
+                                 lens, decode_bounds)
             if new_cache is not None:
                 new_k.append(new_cache[0])
                 new_v.append(new_cache[1])
@@ -386,8 +409,10 @@ class CausalLM(nn.Module):
         return self(inputs_embeds, positions, mask, cache, write_index, lens,
                     compute_logits)
 
-    def decode_step(self, token_embeds, positions, mask, cache, write_index):
-        return self(token_embeds, positions, mask, cache, write_index)
+    def decode_step(self, token_embeds, positions, mask, cache, write_index,
+                    decode_bounds=None):
+        return self(token_embeds, positions, mask, cache, write_index,
+                    decode_bounds=decode_bounds)
 
     def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """Project hidden states to vocabulary logits (fp32)."""
@@ -410,9 +435,11 @@ class CausalLM(nn.Module):
         write_index: Optional[jax.Array] = None,
         lens: Optional[jax.Array] = None,
         compute_logits: bool = True,
+        decode_bounds=None,
     ):
         hidden, out_cache = self.model(inputs_embeds, positions, mask,
-                                       cache, write_index, lens)
+                                       cache, write_index, lens,
+                                       decode_bounds)
         # compute_logits=False skips the (B, S, vocab) projection — the
         # generation prefill only samples one position, and a full-sequence
         # fp32 logits tensor is the dominant prefill memory (OOM at B=16).

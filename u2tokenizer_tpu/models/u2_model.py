@@ -150,9 +150,11 @@ class U2CausalLM(nn.Module):
     def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.llm.embed_tokens(input_ids)
 
-    def decode_step(self, token_embeds, positions, mask, cache, write_index):
+    def decode_step(self, token_embeds, positions, mask, cache, write_index,
+                    decode_bounds=None):
         """One decode step: (B, 1, E) embeds against the full cache."""
-        return self.llm(token_embeds, positions, mask, cache, write_index)
+        return self.llm(token_embeds, positions, mask, cache, write_index,
+                        decode_bounds=decode_bounds)
 
     def lm_logits(self, hidden):
         return self.llm.lm_logits(hidden)

@@ -131,17 +131,43 @@ def quantize_kv(x: jax.Array, eps: float = 1e-6):
     return q, scale.astype(jnp.bfloat16)
 
 
+def gqa_sdpa_headmajor(
+    q: jax.Array,            # (B, Sq, H, D)
+    k: jax.Array,            # (B, Hkv, Sk, D) — head-major cache layout
+    v: jax.Array,            # (B, Hkv, Sk, D)
+    *,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """GQA attention with head-major K/V (the KV-cache storage layout:
+    each head's keys contiguous, see decoder.KVCache)."""
+    b, sq, h, d = q.shape
+    hkv, sk = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    group = h // hkv
+    qg = q.reshape(b, sq, hkv, group, d)
+    scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg, k) * jnp.asarray(
+        scale, q.dtype)
+    if mask is not None:
+        m = jnp.broadcast_to(mask, (b, h, sq, sk)).reshape(b, hkv, group, sq, sk)
+        scores = jnp.where(m, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v)
+    return out.reshape(b, sq, h, d)
+
+
 def gqa_sdpa_quantized(
     q: jax.Array,            # (B, Sq, H, D)
-    k_int: jax.Array,        # (B, Sk, Hkv, D) int8
+    k_int: jax.Array,        # (B, Hkv, Sk, D) int8 — head-major cache layout
     k_scale: jax.Array,      # (B, Hkv, Sk)
-    v_int: jax.Array,        # (B, Sk, Hkv, D) int8
+    v_int: jax.Array,        # (B, Hkv, Sk, D) int8
     v_scale: jax.Array,      # (B, Hkv, Sk)
     *,
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """GQA attention over an int8-quantized KV cache.
+    """GQA attention over the int8-quantized head-major KV cache.
 
     The int8 operands convert on the fly inside the dots (XLA fuses the
     convert into the HBM read), so decode traffic halves versus bf16.
@@ -149,12 +175,12 @@ def gqa_sdpa_quantized(
     (see KVCache.create).
     """
     b, sq, h, d = q.shape
-    hkv, sk = k_int.shape[2], k_int.shape[1]
+    hkv, sk = k_int.shape[1], k_int.shape[2]
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     group = h // hkv
     qg = q.reshape(b, sq, hkv, group, d)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg,
+    scores = jnp.einsum("bqhgd,bhkd->bhgqk", qg,
                         k_int.astype(q.dtype)) * jnp.asarray(scale, q.dtype)
     # per-key dequantization factors out of the dot
     scores = scores * k_scale.astype(q.dtype)[:, :, None, None, :]
@@ -164,5 +190,5 @@ def gqa_sdpa_quantized(
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     # fold per-key v scales into the probabilities
     probs = probs * v_scale.astype(q.dtype)[:, :, None, None, :]
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v_int.astype(q.dtype))
+    out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v_int.astype(q.dtype))
     return out.reshape(b, sq, h, d)

@@ -66,6 +66,49 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, bq: int, sk: int,
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def _kernel_causal_chunked(lens_ref, q_ref, k_ref, v_ref, o_ref, *, bq: int,
+                           bk: int, sk_pad: int, scale: float):
+    """Causal q-block kernel with key-chunk skipping.
+
+    The one-shot kernel computes scores against ALL keys — for causal
+    attention half of them are fully masked. Here the key axis is walked in
+    ``bk`` chunks with an online softmax, and the fori_loop bound stops at
+    the q block's causal frontier, halving causal-prefill FLOPs (the prefill
+    is MXU-bound at these shapes).
+    """
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # (bq, D)
+    d = q.shape[-1]
+    valid_len = lens_ref[b]
+    n_chunks = (qi * bq + bq + bk - 1) // bk             # causal frontier
+
+    def body(ki, carry):
+        acc, m, l = carry
+        k = k_ref[0, 0, pl.ds(ki * bk, bk), :]           # (bk, D)
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        kv_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        q_idx = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        s = jnp.where((kv_idx < valid_len) & (kv_idx <= q_idx), s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, 0, pl.ds(ki * bk, bk), :]           # (bk, D)
+        pv = jnp.dot(p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+        return acc * alpha + pv, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, n_chunks, body, (acc0, m0, l0))
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _flash_raw(q, k, v, lens, causal: bool, scale: float, bq: int,
                interpret: bool):
     """q: (B, H, Sq, D); k/v: (B, Hkv, Sk, D); lens: (B,) int32."""
@@ -75,6 +118,14 @@ def _flash_raw(q, k, v, lens, causal: bool, scale: float, bq: int,
     sq_pad = (sq + bq - 1) // bq * bq
     if sq_pad != sq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+    bk = 512
+    sk_pad = sk
+    if causal:
+        # chunked kernel: pad keys to a bk multiple (padding masked by lens)
+        sk_pad = (sk + bk - 1) // bk * bk
+        if sk_pad != sk:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -82,16 +133,22 @@ def _flash_raw(q, k, v, lens, causal: bool, scale: float, bq: int,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d),
                          lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, sk, d),
+            pl.BlockSpec((1, 1, sk_pad, d),
                          lambda bi, hi, qi, lens: (bi, hi // group, 0, 0)),
-            pl.BlockSpec((1, 1, sk, d),
+            pl.BlockSpec((1, 1, sk_pad, d),
                          lambda bi, hi, qi, lens: (bi, hi // group, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d),
                                lambda bi, hi, qi, lens: (bi, hi, qi, 0)),
     )
+    if causal:
+        kernel = functools.partial(_kernel_causal_chunked, bq=bq, bk=bk,
+                                   sk_pad=sk_pad, scale=scale)
+    else:
+        kernel = functools.partial(_kernel, bq=bq, sk=sk, causal=False,
+                                   scale=scale)
     out = pl.pallas_call(
-        functools.partial(_kernel, bq=bq, sk=sk, causal=causal, scale=scale),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
         interpret=interpret,
