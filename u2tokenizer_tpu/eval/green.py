@@ -184,9 +184,19 @@ def compute_error_count(response: str) -> List[int]:
 # ---------------------------------------------------------------------------
 
 def _tfidf_embed(sentences: List[str]) -> np.ndarray:
-    from sklearn.feature_extraction.text import TfidfVectorizer
+    """Sentence embeddings for clustering: the reference's
+    sentence-transformers checkpoint when installed (green summary parity),
+    else deterministic TF-IDF (scores are unaffected either way — only the
+    representative-sentence selection differs)."""
+    try:
+        from sentence_transformers import SentenceTransformer
 
-    return TfidfVectorizer().fit_transform(sentences).toarray()
+        model = SentenceTransformer("all-MiniLM-L6-v2")
+        return np.asarray(model.encode(sentences))
+    except Exception:
+        from sklearn.feature_extraction.text import TfidfVectorizer
+
+        return TfidfVectorizer().fit_transform(sentences).toarray()
 
 
 def compute_largest_cluster(sentences: List[str]):
@@ -312,6 +322,17 @@ class JaxJudge:
         self.chat_format = chat_format
         self._gen = jax.jit(make_generate_fn(model, gen))
 
+    @staticmethod
+    def _tail_batch(remainder: int, bs: int) -> int:
+        """Compiled batch size for the final partial chunk: the smallest
+        power of two >= remainder (capped at bs). A 1-prompt tail no longer
+        decodes bs rows (r1 weak item 10); each distinct size compiles once.
+        """
+        size = 1
+        while size < remainder:
+            size *= 2
+        return min(size, bs)
+
     def __call__(self, prompts: Sequence[str]) -> List[str]:
         jnp, jax = self._jnp, self._jax
         out: List[str] = []
@@ -323,13 +344,16 @@ class JaxJudge:
             prompts = [green_chat_format(p, eos) for p in prompts]
         for i in range(0, len(prompts), bs):
             chunk = list(prompts[i:i + bs])
-            pad_to = bs - len(chunk)
+            run_bs = bs if len(chunk) == bs else self._tail_batch(
+                len(chunk), bs)
+            pad_to = run_bs - len(chunk)
             chunk += [chunk[-1]] * pad_to
             enc = [self.tokenizer(p)["input_ids"][: self.max_length]
                    for p in chunk]
             maxlen = self.max_length
-            ids = np.full((bs, maxlen), self.gen_cfg.pad_token_id, np.int32)
-            lens = np.zeros((bs,), np.int32)
+            ids = np.full((run_bs, maxlen), self.gen_cfg.pad_token_id,
+                          np.int32)
+            lens = np.zeros((run_bs,), np.int32)
             for j, e in enumerate(enc):
                 ids[j, : len(e)] = e
                 lens[j] = len(e)
