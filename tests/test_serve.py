@@ -85,3 +85,71 @@ def test_report_bad_requests(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url + "/v1/nothing", {})
     assert e.value.code == 404
+
+
+@pytest.fixture(scope="module")
+def llm_server_url():
+    """Text-only OpenAI-protocol server over a tiny CausalLM
+    (start_vllm_server.py parity, serve.TextLMServer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from u2tokenizer_tpu.config import LLMConfig
+    from u2tokenizer_tpu.models.llm.decoder import CausalLM
+    from u2tokenizer_tpu.serve import TextLMServer, U2Server, make_handler
+    from http.server import ThreadingHTTPServer
+    import threading
+
+    cfg = LLMConfig.tiny()
+    model = CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    emb = jnp.zeros((1, 8, cfg.hidden_size), jnp.float32)
+    params = model.init(rng, emb, jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 1, 8, 8), bool))
+    lm = TextLMServer(model, params, MockTokenizer(), max_new_tokens=4,
+                      max_length=32, name="tiny-test-llm")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(U2Server(lm, transform=False)))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_llm_server_openai_protocol(llm_server_url):
+    status, out = _post(llm_server_url + "/v1/completions",
+                        {"prompt": "describe the findings"})
+    assert status == 200
+    assert isinstance(out["choices"][0]["text"], str)
+
+    status, out = _post(llm_server_url + "/v1/chat/completions",
+                        {"messages": [{"role": "user", "content": "hi"}]})
+    assert status == 200
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+    with urllib.request.urlopen(llm_server_url + "/v1/models",
+                                timeout=60) as resp:
+        models = json.loads(resp.read())
+    assert models["data"][0]["id"] == "tiny-test-llm"
+
+
+def test_llm_server_closes_synthesis_loop(llm_server_url):
+    """data/synthesis.py's OpenAI-protocol client talks to OUR server —
+    the full synthesis loop runs with no external LLM dependency."""
+    from u2tokenizer_tpu.data.synthesis import (LLMClientConfig,
+                                                OpenAIProtocolClient,
+                                                rewrite_report)
+
+    cfg = LLMClientConfig()
+    cfg.base_url = llm_server_url + "/v1"
+    cfg.max_retries = 2
+    client = OpenAIProtocolClient(cfg)
+    out = rewrite_report(client, "the lungs are clear")
+    assert isinstance(out, str) and len(out) >= 0
+
+
+def test_index_page_served(server_url):
+    url, _ = server_url
+    with urllib.request.urlopen(url + "/", timeout=600) as resp:
+        body = resp.read().decode()
+    assert resp.status == 200
+    assert "<html" in body and "/v1/report" in body

@@ -575,6 +575,58 @@ def cmd_serve(args):
     serve(model, host=args.host, port=args.port)
 
 
+def cmd_serve_llm(args):
+    """OpenAI-protocol text-LM server (start_vllm_server.py parity): serves
+    any decoder family for the synthesis pipeline / GREEN judging, optionally
+    tensor-parallel over a mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import LLMConfig
+    from .models.llm.decoder import CausalLM
+    from .serve import TextLMServer, U2Server, make_handler
+
+    tokenizer = _load_tokenizer(args.tokenizer)
+    if args.model_dir:  # HF checkpoint directory
+        from .models.hf_weights import (convert_decoder, llm_config_from_hf,
+                                        load_safetensors_dir)
+
+        with open(os.path.join(args.model_dir, "config.json")) as f:
+            cfg = llm_config_from_hf(json.load(f))
+        sd = load_safetensors_dir(args.model_dir)
+        params = {"params": convert_decoder(sd, cfg)}
+    else:
+        preset = getattr(LLMConfig, args.preset)
+        cfg = preset()
+        model0 = CausalLM(cfg, dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        emb = jnp.zeros((1, 8, cfg.hidden_size), jnp.bfloat16)
+        params = model0.init(rng, emb, jnp.zeros((1, 8), jnp.int32),
+                             jnp.ones((1, 1, 8, 8), bool))
+    model = CausalLM(cfg, dtype=jnp.bfloat16)
+
+    if args.tensor_parallel > 1:
+        from .config import MeshConfig
+        from .parallel.mesh import make_mesh, tree_shardings
+
+        mesh = make_mesh(MeshConfig(tensor=args.tensor_parallel))
+        params = jax.device_put(params, tree_shardings(mesh, params))
+        print(f"tensor-parallel over {args.tensor_parallel} devices",
+              file=sys.stderr)
+
+    lm = TextLMServer(model, params, tokenizer,
+                      max_new_tokens=args.max_new_tokens,
+                      do_sample=args.do_sample, top_p=args.top_p,
+                      name=args.model_dir or args.preset)
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(U2Server(lm, transform=False)))
+    print(f"serving OpenAI-protocol LLM on {args.host}:{args.port}",
+          file=sys.stderr)
+    httpd.serve_forever()
+
+
 def cmd_selftest(args):
     """Tiny end-to-end pipeline on synthetic data: build NIfTI volumes +
     jsonl, train a few SFT steps, generate, GREEN-score, convert to DPO
@@ -743,6 +795,23 @@ def build_parser():
     sv.add_argument("--do-sample", action="store_true")
     sv.add_argument("--top-p", type=float, default=0.9)
     sv.set_defaults(fn=cmd_serve)
+
+    sl = sub.add_parser("serve-llm")
+    sl.add_argument("--model-dir", dest="model_dir", default=None,
+                    help="HF checkpoint dir (safetensors + config.json)")
+    sl.add_argument("--preset", default="tiny",
+                    help="LLMConfig classmethod when no --model-dir "
+                         "(tiny/qwen3_1_7b/qwen3_8b/phi2/...)")
+    sl.add_argument("--tokenizer", default=None)
+    sl.add_argument("--tensor-parallel", dest="tensor_parallel", type=int,
+                    default=1)
+    sl.add_argument("--host", default="0.0.0.0")
+    sl.add_argument("--port", type=int, default=8088)
+    sl.add_argument("--max-new-tokens", dest="max_new_tokens", type=int,
+                    default=512)
+    sl.add_argument("--do-sample", dest="do_sample", action="store_true")
+    sl.add_argument("--top-p", dest="top_p", type=float, default=0.9)
+    sl.set_defaults(fn=cmd_serve_llm)
 
     st = sub.add_parser("selftest")
     st.add_argument("--tokenizer", default=None,

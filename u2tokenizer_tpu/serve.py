@@ -31,7 +31,8 @@ class U2Server:
     def __init__(self, inference_model, transform=None):
         """inference_model: eval.inference.U2InferenceModel (or compatible
         .inference(image, question) object). transform: path -> (T, D, H, W)
-        volume; defaults to the u2 validation transform."""
+        volume; defaults to the u2 validation transform; pass ``False`` for a
+        text-only server (TextLMServer) with no volume ingestion."""
         self.model = inference_model
         if transform is None:
             from .data.transforms import U2VolumeTransform
@@ -63,6 +64,111 @@ class U2Server:
                     None, prompt)
 
 
+class TextLMServer:
+    """OpenAI-protocol text-LM serving on the framework decoder — the
+    TPU-native counterpart of the reference's vLLM synthesis-server launcher
+    (src/preprocess/start_vllm_server.py): serves any CausalLM (synthesis
+    LLM, GREEN judge) for data/synthesis.py's OpenAIProtocolClient.
+    Tensor-parallel over a mesh is achieved by placing sharded params
+    (cli.py serve-llm --tensor-parallel)."""
+
+    def __init__(self, model, params, tokenizer, max_new_tokens: int = 512,
+                 do_sample: bool = False, top_p: float = 0.9,
+                 temperature: float = 1.0, max_length: int = 2048,
+                 name: str = "u2-llm"):
+        import jax
+
+        from .config import GenerationConfig
+        from .models.generate import make_generate_fn
+
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self.name = name
+        self.cfg = getattr(model, "cfg", None)
+        self.gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, do_sample=do_sample, top_p=top_p,
+            temperature=temperature,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id or 0)
+        self._jax = jax
+        self._gen = jax.jit(make_generate_fn(model, self.gen_cfg))
+        self._lock = threading.Lock()
+        self._calls = 0
+
+    def text_completion(self, prompt: str) -> str:
+        import jax.numpy as jnp
+
+        ids = self.tokenizer(prompt)["input_ids"][: self.max_length]
+        arr = np.full((1, self.max_length), self.gen_cfg.pad_token_id,
+                      np.int32)
+        arr[0, : len(ids)] = ids
+        with self._lock:
+            self._calls += 1
+            embeds = self.model.apply(self.params, jnp.asarray(arr),
+                                      method=type(self.model).embed_tokens)
+            toks = np.asarray(self._gen(
+                self.params, embeds, jnp.asarray([len(ids)], jnp.int32),
+                self._jax.random.PRNGKey(self._calls)))
+        return self.tokenizer.decode(
+            [t for t in toks[0] if t != self.gen_cfg.pad_token_id],
+            skip_special_tokens=True)
+
+    # U2Server-compatible surface (chat endpoint)
+    def inference(self, image, question: str) -> str:
+        return self.text_completion(question)
+
+
+INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>μ² report demo</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:760px;margin:2rem auto;
+      padding:0 1rem;background:#fafafa;color:#222}
+ h1{font-size:1.3rem} textarea,input{width:100%;box-sizing:border-box;
+      font:inherit;padding:.5rem;margin:.25rem 0;border:1px solid #bbb;
+      border-radius:6px}
+ button{padding:.5rem 1.2rem;border:0;border-radius:6px;background:#2563eb;
+      color:#fff;font:inherit;cursor:pointer} button:disabled{opacity:.5}
+ pre{white-space:pre-wrap;background:#fff;border:1px solid #ddd;
+      border-radius:6px;padding:1rem;min-height:4rem}
+ .hint{color:#666;font-size:.85rem}
+</style></head><body>
+<h1>μ² radiology report demo</h1>
+<p class="hint">Server-visible CT path (.nii.gz or preprocessed .npy); leave
+empty for a text-only chat turn (src/demo/online_demo.py counterpart).</p>
+<input id="image" placeholder="/path/to/volume.nii.gz (optional)">
+<textarea id="question" rows="3">Please provide a detailed caption outlining
+the findings of this image.</textarea>
+<button id="go" onclick="run()">Generate</button>
+<pre id="out">—</pre>
+<script>
+async function run(){
+  const btn=document.getElementById('go'); btn.disabled=true;
+  const out=document.getElementById('out'); out.textContent='generating…';
+  const image=document.getElementById('image').value.trim();
+  const question=document.getElementById('question').value;
+  try{
+    let resp;
+    if(image){
+      resp=await fetch('/v1/report',{method:'POST',
+        headers:{'Content-Type':'application/json'},
+        body:JSON.stringify({image_path:image,question})});
+      const j=await resp.json();
+      out.textContent=j.report||JSON.stringify(j);
+    }else{
+      resp=await fetch('/v1/chat/completions',{method:'POST',
+        headers:{'Content-Type':'application/json'},
+        body:JSON.stringify({messages:[{role:'user',content:question}]})});
+      const j=await resp.json();
+      out.textContent=(j.choices&&j.choices[0].message.content)||JSON.stringify(j);
+    }
+  }catch(e){out.textContent='error: '+e}
+  btn.disabled=false;
+}
+</script></body></html>"""
+
+
 def make_handler(server: U2Server):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
@@ -79,6 +185,17 @@ def make_handler(server: U2Server):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path in ("/", "/index.html"):
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/v1/models":
+                name = getattr(server.model, "name", "u2")
+                self._send(200, {"object": "list",
+                                 "data": [{"id": name, "object": "model"}]})
             else:
                 self._send(404, {"error": "not found"})
 
@@ -104,6 +221,13 @@ def make_handler(server: U2Server):
                     self._send(200, {
                         "choices": [{"message": {"role": "assistant",
                                                  "content": text},
+                                     "finish_reason": "stop"}],
+                    })
+                elif self.path == "/v1/completions":
+                    text = server.chat(
+                        [{"role": "user", "content": req.get("prompt", "")}])
+                    self._send(200, {
+                        "choices": [{"text": text, "index": 0,
                                      "finish_reason": "stop"}],
                     })
                 else:
