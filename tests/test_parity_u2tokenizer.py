@@ -196,3 +196,28 @@ def test_attention_capture():
     # and the plain forward (no capture) returns identical outputs
     out2 = fm.apply(params, v, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_svr_parity_strict_atol():
+    """Fixed-seed, small-std case with STRICT absolute tolerance (no
+    magnitude scaling): hardens the parity claim against the norm-free SVR
+    stack's activation growth (r1 weak item 9) — with std=0.02 weights the
+    activations stay O(1) and fp32 ulp drift must stay below 1e-5."""
+    from src.model.u2tokenizer.svr import (
+        SpatioTemporalVisualTokenRefinerModel as TorchSVR,
+    )
+
+    tm = TorchSVR(embed_size=D_MODEL, num_heads=HEADS, num_layers=2,
+                  top_k=32, use_multi_scale=True, attn_type="rma")
+    randomize_torch_module(tm, 21, std=0.02)
+    x = rand((2, 4, 16, D_MODEL), 22) * 0.5
+    with torch.no_grad():
+        ref = t2n(tm(x))
+    assert np.abs(ref).max() < 10.0  # small-std keeps activations O(1)
+
+    fm = SpatioTemporalVisualTokenRefiner(
+        embed_size=D_MODEL, num_heads=HEADS, num_layers=2, top_k=32,
+        use_multi_scale=True, attn_type="rma", max_seq_len=512)
+    params = {"params": svr_params(tm)}
+    out = fm.apply(params, jnp.asarray(t2n(x)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-5)
