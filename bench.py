@@ -30,9 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A40_BASELINE_REPORTS_PER_MIN = 15.58  # derived best-case; see docstring
+# derived best-case A40 rates (see docstring + BASELINE_MEASURED.json):
+# bf16 weights / 696 GB/s * 768 tokens * 1.1 vision share, batch 1
+A40_BASELINE = {"1.7b": 15.58, "8b": 3.09}
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
+MODEL = __import__("os").environ.get("BENCH_MODEL", "1.7b")  # 1.7b | 8b
+BATCH = int(__import__("os").environ.get(
+    "BENCH_BATCH", "64" if MODEL == "1.7b" else "16"))
 KV_DTYPE = __import__("os").environ.get("BENCH_KV", "int8")  # int8 | bf16
 WQ = __import__("os").environ.get("BENCH_WQ", "int8")  # int8 | bf16 | fp32
 PROMPT_LEN = 1024
@@ -54,6 +58,10 @@ def main():
     from u2tokenizer_tpu.models.u2_model import U2CausalLM
 
     cfg = U2ModelConfig()  # μ²Qwen3-1.7B
+    if MODEL == "8b":
+        from u2tokenizer_tpu.config import LLMConfig
+        import dataclasses
+        cfg = dataclasses.replace(cfg, llm=LLMConfig.qwen3_8b())
     model = U2CausalLM(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
 
@@ -64,26 +72,38 @@ def main():
     question_ids = jnp.ones((b, 64), jnp.int32)
     prompt_len = jnp.full((b,), PROMPT_LEN, jnp.int32)
 
-    log(f"bench: initializing μ²Qwen3-1.7B params on {jax.devices()[0]}")
+    log(f"bench: initializing μ²Qwen3-{MODEL} params on {jax.devices()[0]}")
     t0 = time.time()
-    # init with batch-1 inputs: params are batch-independent, and tracing the
-    # full-batch forward at init both slows the compile and can OOM
-    params = jax.jit(lambda r: model.init(
-        r, input_ids[:1], images[:1], question_ids[:1]))(rng)
-    np.asarray(jax.tree_util.tree_leaves(params)[0])
-    log(f"bench: init done in {time.time() - t0:.1f}s")
-
-    # Serving weight transform: decode is weight-streaming bound, so matrix
-    # params are cast to bf16 and (default) the decoder is weight-only
-    # int8-quantized (models/quantize.py).
     from u2tokenizer_tpu.models.quantize import (
         cast_for_inference, quantize_llm_weights, quantized_llm_config)
 
-    if WQ != "fp32":
-        params = jax.jit(cast_for_inference)(params)
-    if WQ == "int8":
-        params = jax.jit(quantize_llm_weights)(params)
+    if MODEL == "8b":
+        # 8B fp32 init (32 GB) cannot materialize on one 16 GB chip; build
+        # the QUANTIZED param tree structurally (eval_shape + zeros: int8
+        # kernels + unit scales, no init forward — its fp32 logits/dequant
+        # temps OOM on top of the 8.2 GB weights; decode throughput is
+        # weight-value independent).
+        assert WQ == "int8", "8B single-chip serving requires int8 weights"
         model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
+        abs_tree = jax.eval_shape(lambda r: model.init(
+            r, input_ids[:1], images[:1], question_ids[:1]), rng)
+        dt = lambda a: jnp.bfloat16 if (a.dtype == jnp.float32 and
+                                        len(a.shape) >= 2) else a.dtype
+        params = jax.jit(lambda: jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, dt(a)), abs_tree))()
+    else:
+        params = jax.jit(lambda r: model.init(
+            r, input_ids[:1], images[:1], question_ids[:1]))(rng)
+        np.asarray(jax.tree_util.tree_leaves(params)[0])
+        log(f"bench: init done in {time.time() - t0:.1f}s")
+        # Serving weight transform: decode is weight-streaming bound, so
+        # matrix params are cast to bf16 and (default) the decoder is
+        # weight-only int8-quantized (models/quantize.py).
+        if WQ != "fp32":
+            params = jax.jit(cast_for_inference)(params)
+        if WQ == "int8":
+            params = jax.jit(quantize_llm_weights)(params)
+            model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
     np.asarray(jax.tree_util.tree_leaves(params)[0])
     log(f"bench: serving weights = {WQ}")
 
@@ -119,9 +139,9 @@ def main():
         "metric": "reports/min/chip",
         "value": round(reports_per_min, 3),
         "unit": "reports/min",
-        "vs_baseline": round(reports_per_min / A40_BASELINE_REPORTS_PER_MIN, 3),
+        "vs_baseline": round(reports_per_min / A40_BASELINE[MODEL], 3),
         "detail": {
-            "model": "u2-qwen3-1.7b (random weights)",
+            "model": f"u2-qwen3-{MODEL} (random weights)",
             "batch": b,
             "prompt_len": PROMPT_LEN,
             "max_new_tokens": MAX_NEW_TOKENS,
@@ -132,7 +152,7 @@ def main():
             "baseline_derivation": "measured-CPU-overhead x A40 "
                                    "weight-streaming bound "
                                    "(BASELINE_MEASURED.json)",
-            "baseline_reports_per_min_a40": A40_BASELINE_REPORTS_PER_MIN,
+            "baseline_reports_per_min_a40": A40_BASELINE[MODEL],
         },
     }))
 

@@ -144,3 +144,57 @@ def test_u2_model_seg_generate():
     assert bool(np.asarray(has_seg2)[0])
     assert not np.allclose(np.asarray(seg_logits2)[0],
                            np.asarray(seg_logits)[0])
+
+
+def test_joint_seg_training_step():
+    """Joint CE + BCE/Dice training (reference seg_enable collator path):
+    both loss components drop on a fixed batch; rows without '[SEG]' are
+    gated out of the seg term."""
+    import optax
+
+    from u2tokenizer_tpu.train.sft import (TrainState, make_seg_loss_fn,
+                                           make_seg_train_step,
+                                           seg_positions_from_ids)
+
+    cfg = dataclasses.replace(U2ModelConfig.tiny(), seg=SegConfig.tiny())
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    d, h, w = cfg.vision.input_spatial
+    sd, sh, sw = cfg.seg.image_size
+    b, s = 2, 16
+    seg_token_id = 7
+    ids = np.ones((b, s), np.int32)
+    ids[0, 5] = seg_token_id  # row 0 has a [SEG]; row 1 does not
+    pos, has = seg_positions_from_ids(ids, seg_token_id)
+    assert pos[0] == 5 and has[0] == 1.0 and has[1] == 0.0
+
+    labels = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(1), (b, s), 0, cfg.llm.vocab_size))
+    target = jnp.asarray(_sphere_mask(cfg.seg.image_size))[None, None]
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "images": jax.random.normal(rng, (b, cfg.num_chunks, d, h, w)),
+        "question_ids": jnp.ones((b, 4), jnp.int32),
+        "attention_mask": jnp.ones((b, s), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "seg_image": jax.random.normal(rng, (b, 1, sd, sh, sw)),
+        "seg": jnp.broadcast_to(target, (b, 1, sd, sh, sw)),
+        "seg_positions": jnp.asarray(pos),
+        "has_seg": jnp.asarray(has),
+    }
+    params = model.init(rng, batch["input_ids"], batch["images"],
+                        batch["question_ids"], batch["seg_image"],
+                        batch["seg_positions"], method="forward_seg")
+    tx = optax.adam(1e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step = jax.jit(make_seg_train_step(model, tx))
+    loss_fn = make_seg_loss_fn(model)
+    _, m0 = loss_fn(params, batch)
+    for _ in range(6):
+        state, metrics = step(state, batch)
+    _, m1 = loss_fn(state.params, batch)
+    assert float(m1["loss"]) < float(m0["loss"])
+    assert float(m1["seg_loss"]) < float(m0["seg_loss"])
+    assert float(m1["lm_loss"]) < float(m0["lm_loss"])
+    assert np.isfinite(float(m1["grad_norm"])) if "grad_norm" in m1 else True

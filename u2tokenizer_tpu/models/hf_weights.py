@@ -329,6 +329,12 @@ def u2_config_from_hf(hf_config, num_chunks: int = 8) -> U2ModelConfig:
         image_size=image_size,
         patch_size=patch_size,
         hidden_size=int(get("mm_hidden_size", 768)),
+        # the reference hardcodes the MONAI ViT dims (12L/3072/12h); our own
+        # emitted configs carry them explicitly (models/remote_code.py)
+        num_layers=int(get("vision_num_layers", 12) or 12),
+        mlp_dim=int(get("vision_mlp_dim", 3072) or 3072),
+        num_heads=int(get("vision_num_heads", 12) or 12),
+        qkv_bias=bool(get("vision_qkv_bias", False)),
         select_layer=int(get("vision_select_layer", -1)),
         select_feature=get("vision_select_feature", "patch"),
         depth_axis=depth_axis,

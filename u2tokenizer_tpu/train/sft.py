@@ -159,3 +159,75 @@ def make_sharded_trainer(model: U2CausalLM, tx, mesh: Mesh, rng,
         donate_argnums=(0,),
     )
     return state, jitted, batch_shardings
+
+
+def make_seg_loss_fn(model: U2CausalLM, seg_weight: float = 1.0):
+    """Joint LM + segmentation loss (the reference's seg_enable training:
+    train_stage1.py:232 collator flag + vendored Dice/BCE losses,
+    modeling_u2Llama.py:27-67).
+
+    Batch needs the SFT keys plus: seg_image (B, 1, D, H, W), seg (B, 1, D,
+    H, W) target mask, seg_positions (B,) index of the '[SEG]' token, and
+    has_seg (B,) {0,1} gating rows without a mask (their seg loss is
+    dropped, matching the reference's mixed seg/non-seg batches).
+    """
+    from ..models.seg import bce_loss, dice_loss
+
+    def loss_fn(params, batch: Dict[str, jax.Array]):
+        logits, masks = model.apply(
+            params, batch["input_ids"], batch.get("images"),
+            batch.get("question_ids"), batch["seg_image"],
+            batch["seg_positions"].astype(jnp.int32),
+            attention_mask=batch.get("attention_mask"),
+            method="forward_seg")
+        lm_loss, acc = cross_entropy_loss(logits, batch["labels"])
+        # per-row seg losses, gated by has_seg
+        b = masks.shape[0]
+        flat_logits = masks.reshape(b, -1).astype(jnp.float32)
+        flat_target = batch["seg"].reshape(b, -1).astype(jnp.float32)
+        z, t = flat_logits, flat_target
+        bce_row = jnp.mean(jnp.maximum(z, 0) - z * t +
+                           jnp.log1p(jnp.exp(-jnp.abs(z))), axis=-1)
+        p = jax.nn.sigmoid(z)
+        num = 2.0 * jnp.sum(p * t, axis=-1) + 1.0
+        den = jnp.sum(p * p, axis=-1) + jnp.sum(t * t, axis=-1) + 1.0
+        dice_row = 1.0 - num / den
+        gate = batch["has_seg"].astype(jnp.float32)
+        seg = jnp.sum((bce_row + dice_row) * gate) / jnp.maximum(
+            jnp.sum(gate), 1.0)
+        loss = lm_loss + seg_weight * seg
+        return loss, {"loss": loss, "lm_loss": lm_loss, "seg_loss": seg,
+                      "token_accuracy": acc}
+
+    return loss_fn
+
+
+def make_seg_train_step(model: U2CausalLM, tx: optax.GradientTransformation,
+                        seg_weight: float = 1.0, trainable_filter=None):
+    """train_step(state, batch) for joint report+segmentation training."""
+    loss_fn = make_seg_loss_fn(model, seg_weight)
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch)
+        if trainable_filter is not None:
+            grads = _mask_grads(grads, trainable_filter)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt), metrics
+
+    return train_step
+
+
+def seg_positions_from_ids(input_ids, seg_token_id: int):
+    """(B, S) ids -> ((B,) first '[SEG]' index, (B,) has_seg {0,1})."""
+    import numpy as np
+
+    ids = np.asarray(input_ids)
+    is_seg = ids == seg_token_id
+    has = is_seg.any(axis=1).astype(np.float32)
+    pos = np.argmax(is_seg, axis=1).astype(np.int32)
+    return pos, has
