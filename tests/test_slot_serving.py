@@ -1,0 +1,125 @@
+"""Continuous-batching engine: slot outputs must equal per-request generate.
+
+The engine interleaves prefills and decodes over a shared slot pool; since
+every row's attention/cache math is row-independent, each request's greedy
+tokens must match the plain single-request generate exactly — including
+requests admitted mid-flight while other slots are decoding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from u2tokenizer_tpu.config import GenerationConfig, U2ModelConfig
+from u2tokenizer_tpu.models.generate import make_multimodal_generate_fn
+from u2tokenizer_tpu.models.slot_serving import Engine
+from u2tokenizer_tpu.models.u2_model import U2CausalLM
+
+MAX_NEW = 6
+PROMPT_BUF = 24
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    d, h, w = cfg.vision.input_spatial
+    img = jax.random.normal(rng, (1, cfg.num_chunks, d, h, w))
+    qids = jnp.ones((1, 4), jnp.int32)
+    params = model.init(rng, jnp.zeros((1, PROMPT_BUF), jnp.int32), img, qids)
+    gen = GenerationConfig(max_new_tokens=MAX_NEW, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    requests = []
+    for i, plen in enumerate([10, 7, 13, 5, 11]):
+        ids = np.asarray(jax.random.randint(
+            jax.random.PRNGKey(10 + i), (1, plen), 1, cfg.llm.vocab_size))
+        use_img = i % 2 == 0
+        requests.append((ids, img if use_img else None,
+                         qids if use_img else None))
+    return cfg, model, params, gen, requests
+
+
+def _reference_tokens(model, params, gen, ids, images, qids):
+    padded = np.zeros((1, PROMPT_BUF), np.int32)
+    padded[0, : ids.shape[1]] = ids[0]
+    gen_fn = make_multimodal_generate_fn(model, gen, cache_dtype=jnp.float32,
+                                         jit=False)
+    toks = gen_fn(params, jnp.asarray(padded), images, qids,
+                  jnp.asarray([ids.shape[1]], jnp.int32),
+                  jax.random.PRNGKey(0))
+    return [int(t) for t in np.asarray(toks)[0]]
+
+
+def test_engine_matches_single_request_generate(setup):
+    cfg, model, params, gen, requests = setup
+    engine = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                    cache_dtype=jnp.float32)
+    rids = [engine.submit(ids, images, qids)
+            for ids, images, qids in requests]
+    # 5 requests over 2 slots forces mid-flight admissions
+    results = engine.run()
+    assert set(results) == set(rids)
+    for rid, (ids, images, qids) in zip(rids, requests):
+        ref = _reference_tokens(model, params, gen, ids, images, qids)
+        assert results[rid] == ref, (rid, results[rid], ref)
+
+
+def test_engine_slot_reuse_and_int8(setup):
+    cfg, model, params, gen, requests = setup
+    engine = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                    cache_dtype="int8")
+    ids, images, qids = requests[0]
+    r1 = engine.submit(ids, images, qids)
+    out1 = engine.run()
+    # the freed slot serves a second wave
+    r2 = engine.submit(*requests[1])
+    r3 = engine.submit(*requests[2])
+    out2 = engine.run()
+    assert len(out1[r1]) == MAX_NEW
+    assert len(out2[r2]) == MAX_NEW and len(out2[r3]) == MAX_NEW
+
+
+def test_engine_inference_concurrent_callers(setup):
+    """EngineInference: concurrent threads share the slot pool and each gets
+    the same tokens a single-request generate would produce."""
+    import threading
+
+    from test_data import MockTokenizer
+
+    from u2tokenizer_tpu.models.slot_serving import EngineInference
+
+    cfg, model, params, gen, requests = setup
+    tok = MockTokenizer()
+    inf = EngineInference(model, params, tok, cfg, max_new_tokens=MAX_NEW,
+                          num_slots=2, prompt_buf=PROMPT_BUF,
+                          cache_dtype=jnp.float32, question_len=4)
+    d, h, w = cfg.vision.input_spatial
+    rng = np.random.default_rng(0)
+    vols = [rng.normal(size=(cfg.num_chunks, d, h, w)).astype(np.float32)
+            for _ in range(3)]
+    questions = [f"describe finding number {i}" for i in range(3)]
+
+    results = {}
+    def call(i):
+        results[i] = inf.inference(vols[i], questions[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert set(results) == {0, 1, 2}
+    assert all(isinstance(v, str) for v in results.values())
+
+    # match the sequential single-request path exactly (greedy)
+    for i in range(3):
+        ids, qids = inf._encode_prompt(questions[i], True)
+        ref = _reference_tokens(
+            model, params, gen, ids,
+            jnp.asarray(vols[i][None], jnp.float32), jnp.asarray(qids))
+        keep = [t for t in ref if t not in (gen.pad_token_id,
+                                            tok.eos_token_id)]
+        expect = tok.decode(keep, skip_special_tokens=True).strip()
+        assert results[i] == expect, (i, results[i], expect)

@@ -571,6 +571,16 @@ def cmd_serve(args):
         args.checkpoint, tokenizer=_load_tokenizer(args.tokenizer),
         model_config=cfg, max_new_tokens=args.max_new_tokens,
         do_sample=args.do_sample, top_p=args.top_p)
+    if getattr(args, "slots", 0) > 1:
+        # continuous batching: concurrent requests share a slot pool
+        from .models.slot_serving import EngineInference
+
+        model = EngineInference(
+            model.model, model.params, model.tokenizer, model.cfg,
+            max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
+            top_p=args.top_p, num_slots=args.slots,
+            prompt_buf=args.max_length)
+        print(f"continuous batching: {args.slots} slots", file=sys.stderr)
     print(f"serving on {args.host}:{args.port}", file=sys.stderr)
     serve(model, host=args.host, port=args.port)
 
@@ -786,6 +796,10 @@ def build_parser():
     ep.set_defaults(fn=cmd_eval_predictions)
 
     sv = sub.add_parser("serve")
+    sv.add_argument("--slots", type=int, default=1,
+                    help=">1 enables continuous batching over a slot pool")
+    sv.add_argument("--max-length", dest="max_length", type=int,
+                    default=1024)
     _add_common(sv)
     sv.add_argument("--checkpoint", required=True)
     sv.add_argument("--tokenizer", default=None)

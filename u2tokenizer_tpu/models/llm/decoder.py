@@ -191,19 +191,28 @@ class Attention(nn.Module):
         cached_decode = False
         if cache_kv is not None:
             ck, cv, ks, vs = cache_kv
+            per_row = getattr(write_index, "ndim", 0) == 1
             # cache buffers are head-major (B, Hkv, S, D); fresh k/v are
-            # seq-major (B, S, Hkv, D)
-            dus = lambda buf, val: jax.lax.dynamic_update_slice(
-                buf, jnp.transpose(val, (0, 2, 1, 3)).astype(buf.dtype),
-                (0, 0, write_index, 0))
-            if ks is not None:  # int8 cache: quantize on write
-                k_q, k_s = quantize_kv(k)
-                v_q, v_s = quantize_kv(v)
-                ck, cv = dus(ck, k_q), dus(cv, v_q)
+            # seq-major (B, S, Hkv, D). A (B,) write_index scatters each
+            # row's token at its own slot position (continuous batching).
+            if per_row:
+                rows = jnp.arange(b)
+                dus = lambda buf, val: buf.at[rows, :, write_index].set(
+                    val[:, 0].astype(buf.dtype))
+                dus_s = lambda buf, val: buf.at[rows, :, write_index].set(
+                    val[:, 0, :, 0].astype(buf.dtype))
+            else:
+                dus = lambda buf, val: jax.lax.dynamic_update_slice(
+                    buf, jnp.transpose(val, (0, 2, 1, 3)).astype(buf.dtype),
+                    (0, 0, write_index, 0))
                 # scales: (B, S, Hkv, 1) -> (B, Hkv, S) storage layout
                 dus_s = lambda buf, val: jax.lax.dynamic_update_slice(
                     buf, jnp.transpose(val[..., 0], (0, 2, 1)).astype(
                         buf.dtype), (0, 0, write_index))
+            if ks is not None:  # int8 cache: quantize on write
+                k_q, k_s = quantize_kv(k)
+                v_q, v_s = quantize_kv(v)
+                ck, cv = dus(ck, k_q), dus(cv, v_q)
                 ks, vs = dus_s(ks, k_s), dus_s(vs, v_s)
                 quantized_decode = s == 1
             else:

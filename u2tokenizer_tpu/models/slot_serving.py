@@ -1,0 +1,333 @@
+"""Continuous-batching serving engine (slot-based decode).
+
+Production-serving layer beyond the reference's one-request-at-a-time demo
+path (src/demo/demo.py, green_refactored/lu2_model.py): a fixed pool of
+``num_slots`` decode slots shares one batched KV cache; new requests prefill
+into free slots while other slots keep decoding, so the chip never idles
+between requests and per-request latency is decoupled from batch formation.
+
+TPU-native design: every jitted function has static shapes — prefill is a
+batch-1 forward whose K/V are inserted into the batched cache at a dynamic
+slot index; the decode step advances ALL slots each call with per-row write
+positions (decoder.Attention scatters at a (B,) write_index) and per-row
+attention masks derived from (prompt_len, n_generated). Inactive slots
+compute masked garbage — the cost of a slot is paid whether idle or busy,
+which is exactly the continuous-batching bargain.
+
+The host-side ``Engine`` is a plain scheduler: submit() enqueues, step()
+either admits a pending request (prefill) or advances decoding one token for
+everyone; finished rows (EOS / max_new_tokens) free their slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import GenerationConfig
+from ..ops.sampling import sample
+from .llm.decoder import KVCache
+
+
+@struct.dataclass
+class SlotState:
+    cache: KVCache
+    tok: jax.Array          # (S,) int32 last sampled token per slot
+    prompt_len: jax.Array   # (S,) int32
+    n_gen: jax.Array        # (S,) int32 tokens generated so far
+    active: jax.Array       # (S,) bool slot holds a live request
+    done: jax.Array         # (S,) bool request hit EOS (still occupies slot
+                            # until the host collects it)
+
+
+def make_slot_fns(model, gen: GenerationConfig, num_slots: int,
+                  prompt_buf: int, cache_dtype=jnp.bfloat16):
+    """Build (init_state, prefill_fn, decode_fn) for a slot pool.
+
+    prefill_fn(params, state, embeds, prompt_len, slot) -> (state, tok0):
+      batch-1 prefill; K/V written into the pooled cache at ``slot``.
+    decode_fn(params, state, rng) -> (state, tokens (S,)):
+      one token for every slot (inactive/done rows emit pad).
+    """
+    llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
+    total = prompt_buf + gen.max_new_tokens
+
+    def init_state() -> SlotState:
+        z = lambda dt: jnp.zeros((num_slots,), dt)
+        return SlotState(
+            cache=KVCache.create(llm_cfg, num_slots, total, cache_dtype),
+            tok=z(jnp.int32), prompt_len=z(jnp.int32), n_gen=z(jnp.int32),
+            active=z(bool), done=z(bool))
+
+    @jax.jit
+    def prefill_fn(params, state: SlotState, embeds, prompt_len, slot, rng):
+        """embeds: (1, prompt_buf, E) right-padded; prompt_len/slot scalars."""
+        from .u2_model import causal_padding_mask
+
+        s = embeds.shape[1]
+        one_cache = KVCache.create(llm_cfg, 1, total, cache_dtype)
+        att = (jnp.arange(s)[None, :] < prompt_len).astype(jnp.int32)
+        positions = jnp.arange(s, dtype=jnp.int32)[None]
+        _, hidden, one_cache = model.apply(
+            params, embeds, attention_mask=None, cache=one_cache,
+            write_index=jnp.int32(0), positions=positions,
+            mask=causal_padding_mask(att),
+            lens=jnp.asarray([prompt_len], jnp.int32), compute_logits=False,
+            method="forward_embeds")
+        last_hidden = jax.lax.dynamic_slice_in_dim(
+            hidden, prompt_len - 1, 1, axis=1)
+        last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
+        tok0 = sample(rng, last, do_sample=gen.do_sample,
+                      temperature=gen.temperature, top_p=gen.top_p)[0]
+
+        ins = lambda big, small: jax.lax.dynamic_update_slice(
+            big, small, (slot,) + (0,) * (big.ndim - 1))
+        cache = jax.tree_util.tree_map(ins, state.cache, one_cache)
+        return SlotState(
+            cache=cache,
+            tok=state.tok.at[slot].set(tok0),
+            prompt_len=state.prompt_len.at[slot].set(prompt_len),
+            n_gen=state.n_gen.at[slot].set(0),
+            active=state.active.at[slot].set(True),
+            done=state.done.at[slot].set(tok0 == gen.eos_token_id),
+        ), tok0
+
+    kv_pos = jnp.arange(total, dtype=jnp.int32)
+
+    @jax.jit
+    def decode_fn(params, state: SlotState, rng):
+        emb = model.apply(params, state.tok[:, None], method="embed_tokens")
+        pos = (state.prompt_len + state.n_gen)[:, None]
+        # row visibility: its own prompt plus its own generated slots
+        key_ok = (kv_pos[None, :] < state.prompt_len[:, None]) | (
+            (kv_pos[None, :] >= prompt_buf) &
+            (kv_pos[None, :] <= prompt_buf + state.n_gen[:, None]))
+        write_index = prompt_buf + state.n_gen  # (S,) per-row scatter
+        logits, _, cache = model.apply(
+            params, emb, pos.astype(jnp.int32), key_ok[:, None, None, :],
+            state.cache, write_index, method="decode_step")
+        nxt = sample(rng, logits[:, 0], do_sample=gen.do_sample,
+                     temperature=gen.temperature, top_p=gen.top_p)
+        emit = state.active & ~state.done
+        nxt = jnp.where(emit, nxt, jnp.int32(gen.pad_token_id))
+        newly_done = emit & ((nxt == gen.eos_token_id) |
+                             (state.n_gen + 1 >= gen.max_new_tokens))
+        return SlotState(
+            cache=cache, tok=nxt, prompt_len=state.prompt_len,
+            n_gen=jnp.where(emit, state.n_gen + 1, state.n_gen),
+            active=state.active, done=state.done | newly_done,
+        ), nxt
+
+    return init_state, prefill_fn, decode_fn
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    embeds: Any              # (1, prompt_buf, E)
+    prompt_len: int
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None
+    finished: bool = False
+
+
+class Engine:
+    """Host-side continuous-batching scheduler over the slot pool."""
+
+    def __init__(self, model, params, gen: GenerationConfig,
+                 num_slots: int = 8, prompt_buf: int = 1024,
+                 cache_dtype=jnp.bfloat16, seed: int = 0):
+        self.model = model
+        self.params = params
+        self.gen = gen
+        self.num_slots = num_slots
+        self.prompt_buf = prompt_buf
+        init_state, self._prefill, self._decode = make_slot_fns(
+            model, gen, num_slots, prompt_buf, cache_dtype)
+        self.state = init_state()
+        self._rng = jax.random.PRNGKey(seed)
+        self._queue: deque = deque()
+        self._by_slot: Dict[int, _Request] = {}
+        self._results: Dict[int, List[int]] = {}
+        self._next_rid = 0
+
+    # -- submission ---------------------------------------------------------
+
+    def submit_embeds(self, embeds, prompt_len: int) -> int:
+        """Queue a request given (1, prompt_buf, E) prompt embeddings."""
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(_Request(rid, embeds, prompt_len))
+        return rid
+
+    def submit(self, input_ids, images=None, question_ids=None) -> int:
+        """Queue a request from ids (+ optional volume): embeds computed via
+        the multimodal splice, right-padded to the prompt buffer."""
+        ids = np.asarray(input_ids, np.int32).reshape(1, -1)
+        prompt_len = ids.shape[1]
+        padded = np.full((1, self.prompt_buf), self.gen.pad_token_id,
+                         np.int32)
+        padded[0, :prompt_len] = ids[0]
+        embeds = self.model.apply(
+            self.params, jnp.asarray(padded), images, question_ids,
+            method="prepare_inputs_embeds")
+        return self.submit_embeds(embeds, prompt_len)
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _free_slots(self) -> List[int]:
+        active = np.asarray(self.state.active)
+        return [i for i in range(self.num_slots)
+                if not active[i] and i not in self._by_slot]
+
+    def _collect_finished(self):
+        done = np.asarray(self.state.done)
+        for slot, req in list(self._by_slot.items()):
+            if done[slot]:
+                req.finished = True
+                self._results[req.rid] = req.tokens
+                self.state = dataclasses.replace(
+                    self.state,
+                    active=self.state.active.at[slot].set(False),
+                    done=self.state.done.at[slot].set(False))
+                del self._by_slot[slot]
+
+    def step(self) -> bool:
+        """One scheduler tick; returns False when fully idle."""
+        self._collect_finished()
+        free = self._free_slots()
+        if self._queue and free:
+            slot = free[0]
+            req = self._queue.popleft()
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, tok0 = self._prefill(
+                self.params, self.state, req.embeds,
+                jnp.int32(req.prompt_len), jnp.int32(slot), sub)
+            req.slot = slot
+            req.tokens.append(int(tok0))
+            self._by_slot[slot] = req
+            self._collect_finished()
+            return True
+        if self._by_slot:
+            self._rng, sub = jax.random.split(self._rng)
+            self.state, toks = self._decode(self.params, self.state, sub)
+            toks = np.asarray(toks)
+            # every tracked slot had done=False before this step (finished
+            # rows are collected first), so all emitted tokens are real
+            for slot, req in self._by_slot.items():
+                if len(req.tokens) < self.gen.max_new_tokens:
+                    req.tokens.append(int(toks[slot]))
+            self._collect_finished()
+            return True
+        return bool(self._queue)
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive until every submitted request completes; returns
+        rid -> generated token list."""
+        while self._queue or self._by_slot:
+            self.step()
+        return dict(self._results)
+
+
+class EngineInference:
+    """Thread-safe, concurrent drop-in for eval.inference.U2InferenceModel:
+    many callers' .inference() requests share the slot pool concurrently
+    (a background driver thread owns the Engine; callers block only on their
+    own request). Serving layer: pass to serve.U2Server — it advertises
+    ``concurrent = True`` so the server skips its global generation lock.
+    """
+
+    concurrent = True
+
+    def __init__(self, model, params, tokenizer, cfg,
+                 max_new_tokens: int = 768, do_sample: bool = False,
+                 top_p: float = 0.9, num_slots: int = 8,
+                 prompt_buf: int = 1024, cache_dtype=jnp.bfloat16,
+                 question_len: int = 64):
+        import queue
+        import threading
+
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.question_len = question_len
+        self.gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, do_sample=do_sample, top_p=top_p,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id or 0)
+        self.engine = Engine(model, params, self.gen_cfg,
+                             num_slots=num_slots, prompt_buf=prompt_buf,
+                             cache_dtype=cache_dtype)
+        self._submit_q: "queue.Queue" = queue.Queue()
+        self._cv = threading.Condition()
+        self._results: Dict[int, List[int]] = {}
+        self._pending_map: Dict[int, int] = {}
+        self._next_local = 0
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._drive, daemon=True)
+        self._thread.start()
+
+    def _drive(self):
+        import queue
+        import time as _time
+
+        while True:
+            moved = False
+            try:
+                while True:
+                    local, ids, images, qids = self._submit_q.get_nowait()
+                    rid = self.engine.submit(ids, images, qids)
+                    self._pending_map[rid] = local
+                    moved = True
+            except queue.Empty:
+                pass
+            if self.engine._queue or self.engine._by_slot:
+                self.engine.step()
+                moved = True
+                if self.engine._results:
+                    with self._cv:
+                        for rid in list(self.engine._results):
+                            local = self._pending_map.pop(rid)
+                            self._results[local] = \
+                                self.engine._results.pop(rid)
+                        self._cv.notify_all()
+            if not moved:
+                _time.sleep(0.002)
+
+    def _encode_prompt(self, question: str, with_image: bool):
+        prompt = question
+        if with_image:
+            prompt = "<im_patch>" * self.cfg.proj_out_num + question
+        ids = self.tokenizer(prompt, add_special_tokens=False)["input_ids"]
+        ids = ids[: self.engine.prompt_buf]
+        q = self.tokenizer(question,
+                           add_special_tokens=False)["input_ids"]
+        qids = np.full((1, self.question_len), self.gen_cfg.pad_token_id,
+                       np.int32)
+        qids[0, : len(q[: self.question_len])] = q[: self.question_len]
+        return np.asarray(ids, np.int32)[None], qids
+
+    def inference(self, image, question: str) -> str:
+        """Blocking per-caller; concurrent across callers."""
+        with_image = image is not None
+        ids, qids = self._encode_prompt(question, with_image)
+        images = None
+        if with_image:
+            images = jnp.asarray(np.asarray(image)[None], jnp.float32)
+        with self._lock:
+            local = self._next_local
+            self._next_local += 1
+        self._submit_q.put((local, ids, images,
+                            jnp.asarray(qids) if with_image else None))
+        with self._cv:
+            while local not in self._results:
+                self._cv.wait(timeout=1.0)
+            toks = self._results.pop(local)
+        keep = [t for t in toks if t not in (self.gen_cfg.pad_token_id,
+                                             self.gen_cfg.eos_token_id)]
+        return self.tokenizer.decode(keep, skip_special_tokens=True).strip()

@@ -53,15 +53,22 @@ class U2Server:
 
     def report(self, image_path: str, question: str) -> str:
         volume = self.load_volume(image_path)
+        if getattr(self.model, "concurrent", False):
+            # continuous-batching engine: requests share the slot pool,
+            # no global serialization (models/slot_serving.EngineInference)
+            return self.model.inference(volume, question)
         with self._lock:  # generation is single-stream per chip
             return self.model.inference(volume, question)
 
     def chat(self, messages) -> str:
         prompt = "\n".join(m.get("content", "") for m in messages)
+        infer = (self.model.text_completion if hasattr(
+            self.model, "text_completion")
+            else lambda p: self.model.inference(None, p))
+        if getattr(self.model, "concurrent", False):
+            return infer(prompt)
         with self._lock:
-            return self.model.text_completion(prompt) if hasattr(
-                self.model, "text_completion") else self.model.inference(
-                    None, prompt)
+            return infer(prompt)
 
 
 class TextLMServer:
