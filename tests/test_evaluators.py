@@ -179,3 +179,29 @@ def test_evaluate_predictions_driver(tmp_path):
     scored = json.loads(proc.stdout.strip().splitlines()[-1])
     assert scored["bleu1"] > 0.4
     assert out_file.exists()
+
+
+def test_evaluate_with_llm_judge():
+    """LLM-as-judge caption scoring (M3D-Bench eval_with_llm.py protocol)
+    with a stub judge; parse + NA handling."""
+    from u2tokenizer_tpu.eval.evaluators import evaluate_with_llm
+
+    calls = []
+
+    def judge(prompt, system=None):
+        calls.append((prompt, system))
+        if "bad row" in prompt:
+            return "no score here"
+        return "Reasoning...\nScore: 82.5."
+
+    rows = [
+        {"answer": "clear lungs, normal heart", "prediction": "lungs clear"},
+        {"answer": "bad row marker", "prediction": "bad row"},
+        {"answer": "x", "prediction": None},  # skipped entirely
+    ]
+    out = evaluate_with_llm(rows, judge)
+    assert out["llm_score_mean"] == 82.5
+    assert out["llm_score_count"] == 1.0
+    assert out["llm_score_invalid"] == 1.0
+    assert "ground truth: clear lungs" in calls[0][0]
+    assert calls[0][1] is not None  # system prompt passed through

@@ -234,3 +234,62 @@ def evaluate_predictions(rows: Sequence[dict],
             for k, v in sub.items():
                 result.metrics[f"{part}_{k}"] = v
     return result
+
+
+LLM_JUDGE_SYSTEM = "You are an AI assistant, please evaluate based on the following."
+
+LLM_JUDGE_TEMPLATE = (
+    "Please refer to the ground truth and the prediction below. Identify "
+    "the clinical aspects mentioned in the ground truth, then compute what "
+    "percentage of those aspects the prediction states correctly or "
+    "partially matches, as a score from 0 to 100.\n"
+    "ground truth: {answer}\n"
+    "prediction: {pred}\n\n"
+    "The output format is:\nScore: xx."
+)
+
+
+def evaluate_with_llm(rows: Sequence[dict], backend,
+                      max_rows: Optional[int] = None) -> Dict[str, float]:
+    """LLM-as-judge caption scoring (M3D-Bench eval/eval_with_llm.py
+    protocol): ask a judge LLM for the percentage of ground-truth aspects
+    matched by the prediction, parse 'Score: xx'. ``backend`` is any
+    prompt->text callable (data/synthesis.OpenAIProtocolClient against a
+    `cli serve-llm` endpoint, or a stub).
+
+    Rows: {"answer"|"reference", "prediction"}. Returns mean/valid counts;
+    unparseable judge outputs are dropped (reference writes 'NA').
+    """
+    import re
+
+    scores: List[float] = []
+    invalid = 0
+    for i, row in enumerate(rows):
+        if max_rows is not None and i >= max_rows:
+            break
+        answer = row.get("reference", row.get("answer"))
+        pred = row.get("prediction")
+        if answer is None or pred is None:
+            continue
+        out = backend(LLM_JUDGE_TEMPLATE.format(answer=answer, pred=pred),
+                      system=LLM_JUDGE_SYSTEM) if _accepts_system(backend) \
+            else backend(LLM_JUDGE_TEMPLATE.format(answer=answer, pred=pred))
+        match = re.search(r"Score:\s*(\d+(?:\.\d+)?)", out)
+        if match:
+            scores.append(float(match.group(1)))
+        else:
+            invalid += 1
+    return {
+        "llm_score_mean": float(np.mean(scores)) if scores else float("nan"),
+        "llm_score_count": float(len(scores)),
+        "llm_score_invalid": float(invalid),
+    }
+
+
+def _accepts_system(backend) -> bool:
+    import inspect
+
+    try:
+        return "system" in inspect.signature(backend).parameters
+    except (TypeError, ValueError):
+        return False
