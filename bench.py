@@ -38,7 +38,8 @@ MODEL = __import__("os").environ.get("BENCH_MODEL", "1.7b")  # 1.7b | 8b
 BATCH = int(__import__("os").environ.get(
     "BENCH_BATCH", "64" if MODEL == "1.7b" else "16"))
 KV_DTYPE = __import__("os").environ.get("BENCH_KV", "int8")  # int8 | bf16
-WQ = __import__("os").environ.get("BENCH_WQ", "int8")  # int8 | bf16 | fp32
+WQ = __import__("os").environ.get("BENCH_WQ", "int8")  # int8|int4|bf16|fp32
+SPEC = __import__("os").environ.get("BENCH_SPEC", "0") == "1"  # speculative
 PROMPT_LEN = 1024
 MAX_NEW_TOKENS = 768
 
@@ -104,6 +105,13 @@ def main():
         if WQ == "int8":
             params = jax.jit(quantize_llm_weights)(params)
             model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
+        elif WQ == "int4":
+            # int4 params work in-jit on this TPU but the axon relay cannot
+            # transfer S4 arrays across jit boundaries (device_put
+            # RecursionError); quantize INSIDE the generate jit instead —
+            # one extra weight pass per 768-step batch (~6 ms, <0.1%).
+            model = U2CausalLM(quantized_llm_config(cfg, "int4"),
+                               dtype=jnp.bfloat16)
     np.asarray(jax.tree_util.tree_leaves(params)[0])
     log(f"bench: serving weights = {WQ}")
 
@@ -112,7 +120,18 @@ def main():
     import jax.numpy as _jnp
 
     cache_dtype = "int8" if KV_DTYPE == "int8" else _jnp.bfloat16
-    gen_fn = make_multimodal_generate_fn(model, gen, cache_dtype=cache_dtype)
+    if SPEC:
+        from u2tokenizer_tpu.models.speculative import (
+            make_spec_multimodal_generate_fn)
+        gen_fn = make_spec_multimodal_generate_fn(
+            model, gen, cache_dtype=cache_dtype, jit=(WQ != "int4"))
+    else:
+        gen_fn = make_multimodal_generate_fn(
+            model, gen, cache_dtype=cache_dtype, jit=(WQ != "int4"))
+    if WQ == "int4":  # in-jit quantize (axon relay S4 transfer workaround)
+        inner_fn = gen_fn
+        gen_fn = jax.jit(lambda p, *rest: inner_fn(
+            quantize_llm_weights(p, mode="int4"), *rest))
 
     log(f"bench: compiling generate (prefill + decode scan, kv={KV_DTYPE})")
     t0 = time.time()
@@ -148,6 +167,7 @@ def main():
             "seconds_per_batch": round(dt, 3),
             "kv_cache": KV_DTYPE,
             "weights": WQ,
+            "speculative": SPEC,
             "baseline_estimated": False,
             "baseline_derivation": "measured-CPU-overhead x A40 "
                                    "weight-streaming bound "

@@ -55,3 +55,36 @@ def test_native_uncompressed(tmp_path):
 def test_native_missing_file():
     with pytest.raises(IOError):
         native.load_nifti_native("/nonexistent/file.nii.gz")
+
+
+def test_bulk_preprocess_queue(tmp_path):
+    """Parallel work queue: ordered results, per-volume error isolation,
+    .npy output mode."""
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"case_{i}.nii.gz")
+        write_nifti(p, rng.uniform(-200, 500, (20, 24, 12 + i)).astype(
+            np.float32))
+        paths.append(p)
+    paths.insert(1, str(tmp_path / "missing.nii.gz"))  # isolated failure
+
+    results = native.bulk_preprocess(paths, target=32, chunk_depth=8,
+                                     num_chunks=2, num_workers=2)
+    assert [r[0] for r in results] == paths  # input order preserved
+    ok = [r for r in results if r[2] is None]
+    bad = [r for r in results if r[2] is not None]
+    assert len(ok) == 3 and len(bad) == 1
+    assert bad[0][0].endswith("missing.nii.gz")
+    for _, arr, _ in ok:
+        assert arr.shape == (2, 8, 32, 32)
+
+    out_dir = str(tmp_path / "npy")
+    results = native.bulk_preprocess(paths[:1] + paths[2:], target=32,
+                                     chunk_depth=8, num_chunks=2,
+                                     out_dir=out_dir)
+    assert all(e is None and a is None for _, a, e in results)
+    import os
+    names = sorted(os.listdir(out_dir))
+    assert names == ["case_0.npy", "case_1.npy", "case_2.npy"]
+    assert np.load(os.path.join(out_dir, "case_0.npy")).shape == (2, 8, 32, 32)

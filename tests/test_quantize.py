@@ -130,3 +130,82 @@ def test_u2_quantized_multimodal_generate():
                   jax.random.PRNGKey(1))
     assert toks.shape == (1, 4)
     assert np.all(np.asarray(toks) >= 0)
+
+
+# --- int4 (group-wise) --------------------------------------------------
+
+
+def test_int4_tree_structure(tiny_lm):
+    cfg, model, params, ids = tiny_lm
+    qparams = quantize_llm_weights(params, mode="int4")
+    inner = qparams["params"]["model"]
+    # embeddings stay int8 in int4 mode (see quantize._quantize_tree)
+    assert inner["embed_tokens"].dtype == jnp.int8
+    attn = inner["layers_0"]["self_attn"]
+    out_f = cfg.num_heads * cfg.head_dim
+    assert attn["q_proj"]["kernel"].dtype == jnp.int4
+    assert attn["q_proj"]["kernel"].shape == (1, cfg.hidden_size, out_f)
+    assert attn["q_proj"]["scale"].shape == (1, out_f)
+    # intermediate=256 divides into two 128-groups
+    mlp = inner["layers_0"]["mlp"]
+    assert mlp["down_proj"]["kernel"].shape == (2, 128, cfg.hidden_size)
+    assert mlp["down_proj"]["scale"].shape == (2, cfg.hidden_size)
+
+
+def test_int4_quantization_exact_on_grid():
+    """A kernel whose weights are already scale*{-7..7} per group must
+    round-trip exactly through the int4 path (the quantization math check,
+    independent of how well int4 fits any particular weight distribution)."""
+    from u2tokenizer_tpu.models.llm.decoder import QDense
+    from u2tokenizer_tpu.models.quantize import _quantize_kernel_int4
+
+    rng = np.random.default_rng(0)
+    in_f, out = 256, 96
+    grid = rng.integers(-7, 8, (in_f, out)).astype(np.float32)
+    gscale = rng.uniform(0.5, 2.0, (2, 1, out)).astype(np.float32)
+    kernel = jnp.asarray(grid.reshape(2, 128, out) * gscale) \
+        .reshape(in_f, out)
+    q, s = _quantize_kernel_int4(kernel)
+    np.testing.assert_allclose(
+        np.asarray(q.astype(jnp.float32)) * np.asarray(s)[:, None, :],
+        np.asarray(kernel).reshape(2, 128, out), rtol=1e-5)
+
+    x = jnp.asarray(rng.normal(size=(3, in_f)).astype(np.float32))
+    exact = x @ kernel
+    layer = QDense(out, use_bias=False, dtype=jnp.float32, quantized="int4")
+    out_q = layer.apply({"params": {"kernel": q, "scale": s}}, x)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(exact),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_int4_logits_close(tiny_lm):
+    """Sanity error bound on the tiny random model. iid-normal weights are
+    int4's worst case (~12% per-weight noise at 15 levels over ±max); real
+    checkpoints quantize far better. The logits must stay correlated and
+    boundedly wrong, proving the wiring — exactness is covered by
+    test_int4_quantization_exact_on_grid."""
+    cfg, model, params, ids = tiny_lm
+    exact = np.asarray(_logits(model, params, ids))
+    qmodel = CausalLM(quantized_llm_config(cfg, "int4"), dtype=jnp.float32)
+    qparams = quantize_llm_weights(params, mode="int4")
+    quant = np.asarray(_logits(qmodel, qparams, ids))
+    scale = np.abs(exact).max()
+    err = np.abs(quant - exact).max() / scale
+    assert err < 0.5, f"relative logits error {err:.4f}"
+    corr = np.corrcoef(exact.ravel(), quant.ravel())[0, 1]
+    assert corr > 0.9, f"logits correlation {corr:.4f}"
+
+
+def test_int4_generate_runs(tiny_lm):
+    cfg, model, params, ids = tiny_lm
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    qmodel = CausalLM(quantized_llm_config(cfg, "int4"), dtype=jnp.float32)
+    qparams = quantize_llm_weights(params, mode="int4")
+    prompt_len = jnp.array([16, 12], jnp.int32)
+    att = jnp.arange(16)[None, :] < prompt_len[:, None]
+    emb = qmodel.apply(qparams, ids * att, method="embed_tokens")
+    toks = np.asarray(make_generate_fn(qmodel, gen, cache_dtype="int8")(
+        qparams, emb, prompt_len, jax.random.PRNGKey(3)))
+    assert toks.shape == (2, 6)
+    assert (toks >= 0).all() and (toks < cfg.vocab_size).all()

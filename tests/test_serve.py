@@ -153,3 +153,38 @@ def test_index_page_served(server_url):
         body = resp.read().decode()
     assert resp.status == 200
     assert "<html" in body and "/v1/report" in body
+
+
+def _post_sse(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        ctype = resp.headers.get("Content-Type", "")
+        lines = resp.read().decode().splitlines()
+    chunks = [ln[len("data: "):] for ln in lines if ln.startswith("data: ")]
+    assert chunks and chunks[-1] == "[DONE]"
+    return ctype, [json.loads(c) for c in chunks[:-1]]
+
+
+def test_chat_stream_sse(server_url):
+    url, _ = server_url
+    ctype, chunks = _post_sse(url + "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hello scan"}],
+        "stream": True,
+    })
+    assert ctype.startswith("text/event-stream")
+    text = "".join(c["choices"][0]["delta"]["content"] for c in chunks)
+    assert isinstance(text, str) and len(chunks) >= 1
+
+
+def test_report_stream_sse(server_url):
+    url, vol_path = server_url
+    ctype, chunks = _post_sse(url + "/v1/report", {
+        "image_path": vol_path, "question": "what do you see?",
+        "stream": True,
+    })
+    assert ctype.startswith("text/event-stream")
+    # non-slot backends fall back to a single final chunk
+    text = "".join(c["report_delta"] for c in chunks)
+    assert isinstance(text, str)

@@ -123,3 +123,49 @@ def test_engine_inference_concurrent_callers(setup):
                                             tok.eos_token_id)]
         expect = tok.decode(keep, skip_special_tokens=True).strip()
         assert results[i] == expect, (i, results[i], expect)
+
+
+def test_engine_inference_stream_matches(setup):
+    """inference_stream deltas concatenate to the blocking inference text."""
+    from test_data import MockTokenizer
+
+    from u2tokenizer_tpu.models.slot_serving import EngineInference
+
+    cfg, model, params, gen, requests = setup
+    tok = MockTokenizer()
+    inf = EngineInference(model, params, tok, cfg, max_new_tokens=MAX_NEW,
+                          num_slots=2, prompt_buf=PROMPT_BUF,
+                          cache_dtype=jnp.float32, question_len=4)
+    d, h, w = cfg.vision.input_spatial
+    vol = np.random.default_rng(1).normal(
+        size=(cfg.num_chunks, d, h, w)).astype(np.float32)
+    question = "describe the streamed finding"
+    deltas = list(inf.inference_stream(vol, question))
+    assert len(deltas) >= 1
+    streamed = "".join(deltas)
+    blocking = inf.inference(vol, question)
+    assert streamed.strip() == blocking
+
+
+def test_engine_tensor_parallel_matches(setup):
+    """Multi-chip serving: the slot engine with TP/FSDP-sharded params on
+    the virtual mesh produces the same tokens as the unsharded engine — the
+    pooled KV cache and decode collectives are laid out by XLA from the
+    param placements."""
+    from u2tokenizer_tpu.config import MeshConfig
+    from u2tokenizer_tpu.parallel.mesh import make_mesh, param_shardings
+
+    cfg, model, params, gen, requests = setup
+    ref_engine = Engine(model, params, gen, num_slots=2,
+                        prompt_buf=PROMPT_BUF, cache_dtype=jnp.float32)
+    rids = [ref_engine.submit(*requests[i]) for i in range(3)]
+    ref = ref_engine.run()
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+    sharded = jax.device_put(params, param_shardings(mesh, params))
+    tp_engine = Engine(model, sharded, gen, num_slots=2,
+                       prompt_buf=PROMPT_BUF, cache_dtype=jnp.float32)
+    rids2 = [tp_engine.submit(*requests[i]) for i in range(3)]
+    out = tp_engine.run()
+    for a, b in zip(rids, rids2):
+        assert ref[a] == out[b], (ref[a], out[b])

@@ -129,3 +129,29 @@ def test_run_training_epoch_bounded(tiny_trainer, tmp_path):
                          lambda epoch: [batch] * 2,
                          steps_per_epoch=2)
     assert int(np.asarray(state.step)) == 4
+
+
+def test_async_checkpoint_overlap_and_isolation(tiny_trainer, tmp_path):
+    """Async saves: back-to-back saves don't corrupt each other, the saved
+    snapshot is isolated from post-save training, and a restart sees the
+    newest step."""
+    model, tx, state, train_step, batch = tiny_trainer
+    ckpt = CheckpointManager(str(tmp_path / "ack"), save_interval_steps=1,
+                             async_save=True)
+    state1, _ = train_step(state, batch)
+    ckpt.save(1, state1)           # returns before IO completes
+    state2, _ = train_step(state1, batch)  # keep training immediately
+    ckpt.save(2, state2)
+    ckpt.close()
+
+    ckpt2 = CheckpointManager(str(tmp_path / "ack"), save_interval_steps=1)
+    assert ckpt2.latest_step() == 2
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    r1 = ckpt2.restore(template, step=1)
+    r2 = ckpt2.restore(template, step=2)
+    ckpt2.close()
+    # step-1 snapshot must hold step-1 values, untouched by later training
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(r1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert int(np.asarray(r2.step)) == 2

@@ -637,6 +637,39 @@ def cmd_serve_llm(args):
     httpd.serve_forever()
 
 
+def cmd_preprocess(args):
+    """Offline bulk ingest: NIfTI volumes -> preprocessed (T, D, H, W) .npy
+    through the parallel native work queue (reference counterpart:
+    src/utils/ct_rate_reduction.py / abdomen_atlas_reduction.py)."""
+    import os
+
+    from .data.transforms import U2VolumeTransform
+    from .native import bulk_preprocess
+
+    paths = []
+    for inp in args.inputs:
+        if os.path.isdir(inp):
+            for name in sorted(os.listdir(inp)):
+                if name.endswith((".nii", ".nii.gz")):
+                    paths.append(os.path.join(inp, name))
+        else:
+            paths.append(inp)
+    fallback = U2VolumeTransform(
+        data_type="validation", target_size=args.target,
+        chunk_depth=args.chunk_depth, num_chunks=args.num_chunks)
+    results = bulk_preprocess(
+        paths, target=args.target, chunk_depth=args.chunk_depth,
+        num_chunks=args.num_chunks, num_workers=args.workers,
+        out_dir=args.out_dir, fallback=fallback)
+    failed = [(p, e) for p, _, e in results if e]
+    print(f"preprocess: {len(results) - len(failed)}/{len(results)} volumes "
+          f"-> {args.out_dir}")
+    for p, e in failed:
+        print(f"  FAILED {p}: {e}")
+    if failed:
+        raise SystemExit(1)
+
+
 def cmd_selftest(args):
     """Tiny end-to-end pipeline on synthetic data: build NIfTI volumes +
     jsonl, train a few SFT steps, generate, GREEN-score, convert to DPO
@@ -831,6 +864,17 @@ def build_parser():
     st.add_argument("--tokenizer", default=None,
                     help="HF tokenizer dir; omit to use the built-in mock")
     st.set_defaults(fn=cmd_selftest)
+
+    pp = sub.add_parser(
+        "preprocess",
+        help="bulk NIfTI -> preprocessed .npy (parallel native work queue)")
+    pp.add_argument("inputs", nargs="+", help="NIfTI files or directories")
+    pp.add_argument("--out-dir", dest="out_dir", required=True)
+    pp.add_argument("--target", type=int, default=256)
+    pp.add_argument("--chunk-depth", dest="chunk_depth", type=int, default=32)
+    pp.add_argument("--num-chunks", dest="num_chunks", type=int, default=8)
+    pp.add_argument("--workers", type=int, default=None)
+    pp.set_defaults(fn=cmd_preprocess)
     return p
 
 

@@ -152,11 +152,13 @@ class LLMConfig:
     mlp_type: str = "swiglu"           # swiglu | gelu
     mlp_bias: bool = False
     lm_head_bias: bool = False
-    # Serving-time weight-only int8 quantization (models/quantize.py):
-    # kernels/embeddings stored int8 with per-channel scales; decode weight
-    # streaming halves vs bf16. Param trees are produced by
-    # quantize.quantize_llm_weights from a float checkpoint, never by init.
-    quantized_weights: bool = False
+    # Serving-time weight-only quantization (models/quantize.py):
+    # False | True/"int8" (kernels+embeddings int8, per-channel scales) |
+    # "int4" (layer kernels int4 with per-[group=128, out-channel] scales —
+    # quarter weight streaming; embeddings stay int8). Param trees are
+    # produced by quantize.quantize_llm_weights from a float checkpoint,
+    # never by init.
+    quantized_weights: "bool | str" = False
 
     @classmethod
     def qwen3_1_7b(cls, vocab_size: int = 151936) -> "LLMConfig":

@@ -101,9 +101,9 @@ class U2InferenceModel:
         self.params = merge_lora(
             self.params, lora, LoraConfig(r=acfg["r"], alpha=acfg["alpha"]))
 
-    def _encode_prompt(self, question: str):
+    def _encode_prompt(self, question: str, with_image: bool = True):
         n_img = self.cfg.proj_out_num
-        prompt = "<im_patch>" * n_img + question
+        prompt = ("<im_patch>" * n_img + question) if with_image else question
         ids = self.tokenizer(prompt, add_special_tokens=False)["input_ids"]
         ids = ids[: self.max_length]
         out = np.full(self.max_length, self.gen_cfg.pad_token_id, np.int32)
@@ -115,13 +115,16 @@ class U2InferenceModel:
 
     def inference(self, image: np.ndarray, question: str) -> str:
         """(T, D, H, W) preprocessed volume + question -> report text
-        (lu2_model.py:52-66 protocol)."""
+        (lu2_model.py:52-66 protocol). ``image=None`` runs the text-only
+        path (the reference generate's vision_input=None branch)."""
         jnp = self._jnp
-        input_id, qids, plen = self._encode_prompt(question)
+        with_image = image is not None
+        input_id, qids, plen = self._encode_prompt(question, with_image)
+        images = (jnp.asarray(np.asarray(image)[None], jnp.float32)
+                  if with_image else None)
         self._rng, sub = self._jax.random.split(self._rng)
         toks = self._gen_fn(self.params, jnp.asarray(input_id[None]),
-                            jnp.asarray(np.asarray(image)[None], jnp.float32),
-                            jnp.asarray(qids[None]),
+                            images, jnp.asarray(qids[None]),
                             jnp.asarray([plen], jnp.int32), sub)
         ids = [int(t) for t in np.asarray(toks)[0]
                if t not in (self.gen_cfg.pad_token_id,

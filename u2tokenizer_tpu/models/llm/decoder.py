@@ -100,27 +100,53 @@ def make_norm(cfg: LLMConfig, dtype, name: str) -> nn.Module:
     return RMSNorm(cfg.rms_norm_eps, dtype, name=name)
 
 
+def int4_group(in_features: int, group: int = 128) -> int:
+    """Quantization group length along the input dim (falls back to
+    per-channel when the group does not divide the input width)."""
+    return group if in_features % group == 0 else in_features
+
+
 class QDense(nn.Module):
-    """Dense layer with optional weight-only int8 quantization.
+    """Dense layer with optional weight-only int8/int4 quantization.
 
     Param-tree compatible with ``nn.Dense`` when ``quantized=False`` (same
-    kernel/bias names, shapes and initializers). When ``quantized=True`` the
-    kernel is stored int8 with a per-output-channel ``scale``; the int8→bf16
-    convert fuses into the matmul's HBM read on TPU, so decode-time weight
-    streaming is one byte per element. Quantized trees are produced by
-    ``models.quantize.quantize_llm_weights`` from a float checkpoint — init
-    of a quantized module yields placeholder zeros.
+    kernel/bias names, shapes and initializers). When ``quantized`` is truthy
+    the kernel is stored quantized and dequantization folds into the matmul:
+
+      * int8 (``quantized=True``/``"int8"``): (in, out) int8 kernel with a
+        per-output-channel ``scale`` applied in the epilogue — one byte per
+        element of decode-time weight streaming.
+      * int4 (``quantized="int4"``): (groups, group=128, out) int4 kernel
+        with per-(group, out) ``scale``; the matmul runs as a grouped einsum
+        so the int4→bf16 convert fuses into each group's dot and the scale
+        is applied in the group-sum — half a byte per element.
+
+    Quantized trees are produced by ``models.quantize.quantize_llm_weights``
+    from a float checkpoint — init of a quantized module yields placeholder
+    zeros.
     """
 
     features: int
     use_bias: bool = True
     dtype: Dtype = jnp.bfloat16
-    quantized: bool = False
+    quantized: "bool | str" = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_features = x.shape[-1]
-        if self.quantized:
+        if self.quantized == "int4":
+            g = int4_group(in_features)
+            ng = in_features // g
+            kernel = self.param(
+                "kernel", lambda rng, shape: jnp.zeros(shape, jnp.int4),
+                (ng, g, self.features))
+            scale = self.param("scale", nn.initializers.ones,
+                               (ng, self.features), jnp.float32)
+            xg = x.astype(self.dtype).reshape(*x.shape[:-1], ng, g)
+            part = jnp.einsum("...gi,gio->...go", xg,
+                              kernel.astype(self.dtype))
+            y = jnp.einsum("...go,go->...o", part, scale.astype(self.dtype))
+        elif self.quantized:
             kernel = self.param(
                 "kernel", lambda rng, shape: jnp.zeros(shape, jnp.int8),
                 (in_features, self.features))
@@ -194,8 +220,17 @@ class Attention(nn.Module):
             per_row = getattr(write_index, "ndim", 0) == 1
             # cache buffers are head-major (B, Hkv, S, D); fresh k/v are
             # seq-major (B, S, Hkv, D). A (B,) write_index scatters each
-            # row's token at its own slot position (continuous batching).
-            if per_row:
+            # row's token at its own slot position (continuous batching);
+            # with s > 1 it scatters s consecutive tokens per row starting
+            # at the row's offset (speculative-decoding verify blocks).
+            if per_row and s > 1:
+                rows = jnp.arange(b)[:, None]
+                pos = write_index[:, None] + jnp.arange(s)[None, :]
+                dus = lambda buf, val: buf.at[rows, :, pos].set(
+                    val.astype(buf.dtype))
+                dus_s = lambda buf, val: buf.at[rows, :, pos].set(
+                    val[..., 0].astype(buf.dtype))
+            elif per_row:
                 rows = jnp.arange(b)
                 dus = lambda buf, val: buf.at[rows, :, write_index].set(
                     val[:, 0].astype(buf.dtype))
@@ -214,16 +249,18 @@ class Attention(nn.Module):
                 v_q, v_s = quantize_kv(v)
                 ck, cv = dus(ck, k_q), dus(cv, v_q)
                 ks, vs = dus_s(ks, k_s), dus_s(vs, v_s)
-                quantized_decode = s == 1
+                quantized_decode = s == 1 or per_row
             else:
                 ck, cv = dus(ck, k), dus(cv, v)
             new_cache = (ck, cv, ks, vs)
-            if s > 1:
+            if s > 1 and not per_row:
                 # Prefill writes at offset 0: the fresh full-precision k/v ARE
                 # the cache contents — attend them directly (exact even with
                 # a quantized cache).
                 k_att, v_att = k, v
             else:
+                # single-token decode, or a per-row multi-token verify block
+                # (speculative decoding): attend the full cache under the mask
                 k_att, v_att = ck, cv
                 cached_decode = True
         else:
@@ -235,7 +272,8 @@ class Attention(nn.Module):
                      and k_att.shape[1] == s
                      and jax.default_backend() == "tpu")
         if quantized_decode:
-            if (decode_bounds is not None and cfg.use_flash_attention
+            if (s == 1 and decode_bounds is not None
+                    and cfg.use_flash_attention
                     and jax.default_backend() == "tpu"):
                 # fused Pallas kernel: one pass over the int8 cache, scales
                 # and the two-interval decode mask applied in registers

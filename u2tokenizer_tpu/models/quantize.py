@@ -47,21 +47,43 @@ def _quantize_channels(w: jax.Array, axis: int, eps: float = 1e-8):
     return q.astype(jnp.int8), scale
 
 
-def _quantize_tree(node: Dict[str, Any]) -> Dict[str, Any]:
+def _quantize_kernel_int4(kernel: jax.Array, group: int = 128,
+                          eps: float = 1e-8):
+    """Group-wise symmetric int4: (in, out) -> ((G, group, out) int4,
+    (G, out) fp32 scales). G = in/group; per-channel when group ∤ in."""
+    from .llm.decoder import int4_group
+
+    in_f, out = kernel.shape
+    g = int4_group(in_f, group)
+    k = kernel.astype(jnp.float32).reshape(in_f // g, g, out)
+    scale = jnp.max(jnp.abs(k), axis=1, keepdims=True) / 7.0
+    scale = jnp.maximum(scale, eps)
+    q = jnp.clip(jnp.round(k / scale), -7, 7).astype(jnp.int4)
+    return q, scale[:, 0, :]
+
+
+def _quantize_tree(node: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
     out = {}
     for key, val in node.items():
         if isinstance(val, dict):
             if "kernel" in val and not isinstance(val["kernel"], dict) \
                     and val["kernel"].ndim == 2:
                 kernel = val["kernel"]
-                q, scale = _quantize_channels(kernel, axis=1)
-                new = {"kernel": q, "scale": scale.reshape(-1)}
+                if mode == "int4":
+                    q, scale = _quantize_kernel_int4(kernel)
+                    new = {"kernel": q, "scale": scale}
+                else:
+                    q, scale = _quantize_channels(kernel, axis=1)
+                    new = {"kernel": q, "scale": scale.reshape(-1)}
                 if "bias" in val:
                     new["bias"] = val["bias"].astype(jnp.float32)
                 out[key] = new
             else:
-                out[key] = _quantize_tree(val)
+                out[key] = _quantize_tree(val, mode)
         elif key == "embed_tokens" and val.ndim == 2:
+            # the embedding table stays int8 in both modes: per-row int4
+            # over the full hidden dim is too coarse for the tied lm_logits
+            # matmul, and the table is a minority of decode traffic
             q, scale = _quantize_channels(val, axis=0)
             out["embed_tokens"] = q
             out["embed_scale"] = scale.reshape(-1, 1)
@@ -70,8 +92,10 @@ def _quantize_tree(node: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def quantize_llm_weights(params):
-    """Quantize the decoder subtree of a param tree to weight-only int8.
+def quantize_llm_weights(params, mode: str = "int8"):
+    """Quantize the decoder subtree of a param tree to weight-only int8
+    (``mode="int8"``) or group-wise int4 (``mode="int4"``; embeddings stay
+    int8 — see _quantize_tree).
 
     Accepts either a full U2CausalLM tree ({'params': {'llm': ...}}) or a
     bare CausalLM tree ({'params': ...}); only the decoder weights are
@@ -81,15 +105,16 @@ def quantize_llm_weights(params):
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     inner = dict(params["params"])
     if "llm" in inner:
-        inner["llm"] = _quantize_tree(inner["llm"])
+        inner["llm"] = _quantize_tree(inner["llm"], mode)
     else:
-        inner = _quantize_tree(inner)
+        inner = _quantize_tree(inner, mode)
     return {**params, "params": inner}
 
 
-def quantized_llm_config(cfg):
-    """Return a copy of an LLMConfig or U2ModelConfig with quantized weights."""
+def quantized_llm_config(cfg, mode: "bool | str" = True):
+    """Return a copy of an LLMConfig or U2ModelConfig with quantized weights
+    (``mode``: True/"int8" or "int4")."""
     if hasattr(cfg, "llm"):
         return dataclasses.replace(
-            cfg, llm=dataclasses.replace(cfg.llm, quantized_weights=True))
-    return dataclasses.replace(cfg, quantized_weights=True)
+            cfg, llm=dataclasses.replace(cfg.llm, quantized_weights=mode))
+    return dataclasses.replace(cfg, quantized_weights=mode)

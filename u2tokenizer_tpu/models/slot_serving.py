@@ -267,10 +267,23 @@ class EngineInference:
         self._cv = threading.Condition()
         self._results: Dict[int, List[int]] = {}
         self._pending_map: Dict[int, int] = {}
+        self._streams: Dict[int, "queue.Queue"] = {}  # local -> token queue
+        self._sent: Dict[int, int] = {}               # rid -> tokens pushed
         self._next_local = 0
         self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._drive, daemon=True)
         self._thread.start()
+
+    def _push_stream(self, local: int, tokens: List[int], start: int,
+                     done: bool):
+        q = self._streams.get(local)
+        if q is None:
+            return
+        for t in tokens[start:]:
+            q.put(int(t))
+        if done:
+            q.put(None)
+            self._streams.pop(local, None)
 
     def _drive(self):
         import queue
@@ -289,12 +302,24 @@ class EngineInference:
             if self.engine._queue or self.engine._by_slot:
                 self.engine.step()
                 moved = True
+                # incremental token delivery for streaming callers
+                for slot, req in list(self.engine._by_slot.items()):
+                    local = self._pending_map.get(req.rid)
+                    if local is not None and local in self._streams:
+                        sent = self._sent.get(req.rid, 0)
+                        self._push_stream(local, req.tokens, sent, False)
+                        self._sent[req.rid] = len(req.tokens)
                 if self.engine._results:
                     with self._cv:
                         for rid in list(self.engine._results):
                             local = self._pending_map.pop(rid)
-                            self._results[local] = \
-                                self.engine._results.pop(rid)
+                            toks = self.engine._results.pop(rid)
+                            if local in self._streams:
+                                self._push_stream(
+                                    local, toks,
+                                    self._sent.pop(rid, 0), True)
+                            else:
+                                self._results[local] = toks
                         self._cv.notify_all()
             if not moved:
                 _time.sleep(0.002)
@@ -312,8 +337,9 @@ class EngineInference:
         qids[0, : len(q[: self.question_len])] = q[: self.question_len]
         return np.asarray(ids, np.int32)[None], qids
 
-    def inference(self, image, question: str) -> str:
-        """Blocking per-caller; concurrent across callers."""
+    def _submit_local(self, image, question: str, stream: bool) -> int:
+        import queue
+
         with_image = image is not None
         ids, qids = self._encode_prompt(question, with_image)
         images = None
@@ -322,8 +348,15 @@ class EngineInference:
         with self._lock:
             local = self._next_local
             self._next_local += 1
+            if stream:
+                self._streams[local] = queue.Queue()
         self._submit_q.put((local, ids, images,
                             jnp.asarray(qids) if with_image else None))
+        return local
+
+    def inference(self, image, question: str) -> str:
+        """Blocking per-caller; concurrent across callers."""
+        local = self._submit_local(image, question, stream=False)
         with self._cv:
             while local not in self._results:
                 self._cv.wait(timeout=1.0)
@@ -331,3 +364,30 @@ class EngineInference:
         keep = [t for t in toks if t not in (self.gen_cfg.pad_token_id,
                                              self.gen_cfg.eos_token_id)]
         return self.tokenizer.decode(keep, skip_special_tokens=True).strip()
+
+    def inference_stream(self, image, question: str):
+        """Generator of text deltas as the slot pool decodes this request
+        (serve.py SSE endpoints). Deltas concatenate to inference()'s
+        output up to leading/trailing whitespace."""
+        local = self._submit_local(image, question, stream=True)
+        q = self._streams[local]
+        toks: List[int] = []
+        prev = ""
+        skip = (self.gen_cfg.pad_token_id, self.gen_cfg.eos_token_id)
+        while True:
+            t = q.get()
+            if t is None:
+                break
+            if t in skip:
+                continue
+            toks.append(t)
+            # re-decode the full prefix each time: multi-byte/merged tokens
+            # may retroactively change earlier text, so only emit stable
+            # extensions of what was already sent
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            if text.startswith(prev) and len(text) > len(prev):
+                yield text[len(prev):]
+                prev = text
+        text = self.tokenizer.decode(toks, skip_special_tokens=True)
+        if text.startswith(prev) and len(text) > len(prev):
+            yield text[len(prev):]

@@ -1,0 +1,216 @@
+"""Speculative greedy decoding with n-gram prompt/self-copy drafts.
+
+Radiology reports are template-heavy — long spans repeat verbatim across the
+prompt (which, in the GREEN/DPO pipelines, contains the reference report) and
+within the generated text itself. A draft *model* is unnecessary: a bigram
+match against the token history proposes the continuation that followed the
+same context last time, and one batched verify forward accepts the longest
+correct prefix. Greedy output is provably identical to step-by-step decoding
+(the verify logits ARE the step logits); only the number of device steps
+changes: each verify block of ``block_len`` tokens costs ~one decode step of
+HBM traffic (the cache read is shared across the block's queries) but emits
+1..block_len tokens.
+
+Reference protocol being accelerated: the 768-token report decode of
+green_refactored/lu2_model.py:63 (greedy eval paths; sampling paths fall back
+to models/generate.py).
+
+TPU design: the whole loop is one jitted ``lax.while_loop`` — drafting,
+verification, acceptance and output writes all happen device-side (host
+round-trips cost ~4 s on the axon relay). All shapes are static; per-row
+divergence (rows accept different counts per step) is handled with per-row
+write offsets (decoder.Attention scatters verify blocks at a (B,) index) and
+masked scatters (mode="drop" turns non-emitted lanes into no-op writes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerationConfig
+from .llm.decoder import KVCache
+from .u2_model import causal_padding_mask
+
+
+def ngram_draft(hist: jax.Array, idx_last: jax.Array, c0: jax.Array,
+                c1: jax.Array, n_drafts: int) -> jax.Array:
+    """Propose ``n_drafts`` continuation tokens by bigram history match.
+
+    hist: (B, L) token history; unwritten/gap positions hold -1.
+    idx_last: (B,) history index of the newest token (the bigram (c0, c1)
+      ends here; matches at or after it are excluded).
+    c0, c1: (B,) the two newest tokens (c1 = pending last token).
+
+    Returns (B, n_drafts) int32 drafts; rows with no match (or matches
+    running into unwritten history) fall back to repeating c1 — a draft is
+    only a guess, a wrong one costs nothing beyond the block's slack.
+    """
+    b, l = hist.shape
+    pos = jnp.arange(l - 1)
+    m = (hist[:, :-1] == c0[:, None]) & (hist[:, 1:] == c1[:, None])
+    m = m & (pos[None, :] + 1 < idx_last[:, None])
+    j = jnp.max(jnp.where(m, pos[None, :], -1), axis=1)  # most recent match
+    idxs = jnp.clip(j[:, None] + 2 + jnp.arange(n_drafts)[None, :], 0, l - 1)
+    d = jnp.take_along_axis(hist, idxs, axis=1)
+    bad = (j[:, None] < 0) | (d < 0)
+    return jnp.where(bad, c1[:, None], d).astype(jnp.int32)
+
+
+def make_spec_generate_fn(
+    model,
+    gen: GenerationConfig,
+    cache_dtype=jnp.bfloat16,
+    block_len: int = 8,
+) -> Callable:
+    """Build generate(params, inputs_embeds, prompt_ids, prompt_len, rng).
+
+    Greedy-only speculative counterpart of generate.make_generate_fn: same
+    signature plus ``prompt_ids`` (B, S) — the drafting history seed (pad
+    columns beyond prompt_len are ignored). Returns (B, max_new_tokens) ids,
+    pad-filled after EOS, bit-identical to the plain greedy loop.
+    """
+    if gen.do_sample:
+        raise ValueError("speculative decoding supports greedy only "
+                         "(do_sample=False); use make_generate_fn")
+    llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
+    kb = block_len
+    max_new = gen.max_new_tokens
+
+    def generate(params, inputs_embeds, prompt_ids, prompt_len, rng):
+        del rng  # greedy
+        b, s, _ = inputs_embeds.shape
+        # +kb slack: a verify block starting at the last live slot may write
+        # up to kb-1 tokens past it (masked, later overwritten — never read).
+        total = s + max_new + kb
+        cache = KVCache.create(llm_cfg, b, total, cache_dtype)
+        prompt_len = prompt_len.astype(jnp.int32)
+
+        # --- prefill (identical to make_generate_fn) ---
+        att = (jnp.arange(s)[None, :] < prompt_len[:, None]).astype(jnp.int32)
+        mask = causal_padding_mask(att)
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        _, hidden, cache = model.apply(
+            params, inputs_embeds, attention_mask=None, cache=cache,
+            write_index=jnp.int32(0), positions=positions, mask=mask,
+            lens=prompt_len, compute_logits=False, method="forward_embeds")
+        last_hidden = jnp.take_along_axis(
+            hidden, (prompt_len - 1)[:, None, None], axis=1)
+        tok0 = jnp.argmax(
+            model.apply(params, last_hidden, method="lm_logits")[:, 0],
+            axis=-1).astype(jnp.int32)
+
+        # token history for drafting: prompt at [0, prompt_len), -1 gap,
+        # generated token j at s + j
+        hist = jnp.full((b, s + max_new), -1, jnp.int32)
+        hist = hist.at[:, :s].set(
+            jnp.where(att.astype(bool), prompt_ids.astype(jnp.int32), -1))
+        hist = hist.at[:, s].set(tok0)
+        out = jnp.full((b, max_new), jnp.int32(gen.pad_token_id))
+        out = out.at[:, 0].set(tok0)
+
+        kv_pos = jnp.arange(total, dtype=jnp.int32)
+        koff = jnp.arange(kb, dtype=jnp.int32)
+        rows = jnp.arange(b)
+
+        state = dict(
+            cache=cache, hist=hist, out=out,
+            pending=tok0,
+            n_emit=jnp.ones((b,), jnp.int32),
+            done=(tok0 == gen.eos_token_id),
+        )
+
+        def cond(st):
+            return jnp.any(~st["done"] & (st["n_emit"] < max_new))
+
+        def body(st):
+            n_emit, done, pending = st["n_emit"], st["done"], st["pending"]
+            n_w = n_emit - 1  # generated tokens whose KV is cached
+
+            # -- draft: bigram (prev, pending) history match --
+            idx_last = s + n_emit - 1
+            prev = jnp.where(
+                n_emit >= 2,
+                jnp.take_along_axis(
+                    st["hist"], jnp.clip(idx_last - 1, 0)[:, None],
+                    axis=1)[:, 0],
+                jnp.take_along_axis(
+                    st["hist"], (prompt_len - 1)[:, None], axis=1)[:, 0])
+            drafts = ngram_draft(st["hist"], idx_last, prev, pending, kb - 1)
+
+            # -- one verify forward over [pending, d_1..d_{kb-1}] --
+            f = jnp.concatenate([pending[:, None], drafts], axis=1)  # (B, kb)
+            emb = model.apply(params, f, method="embed_tokens")
+            pos = (prompt_len + n_w)[:, None] + koff[None, :]
+            key_ok = (kv_pos[None, None, :] < prompt_len[:, None, None]) | (
+                (kv_pos[None, None, :] >= s) &
+                (kv_pos[None, None, :] <= (s + n_w)[:, None, None]
+                 + koff[None, :, None]))
+            logits, _, cache = model.apply(
+                params, emb, pos, key_ok[:, None], st["cache"],
+                s + n_w, method="decode_step")
+            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, kb)
+
+            # -- longest accepted prefix: f[j] must equal g[j-1] --
+            match = f[:, 1:] == g[:, :-1]                      # (B, kb-1)
+            chain = jnp.cumprod(match.astype(jnp.int32), axis=1)
+            c = 1 + jnp.sum(chain, axis=1)                     # (B,) in [1,kb]
+            # EOS inside the block truncates it (the EOS itself is emitted)
+            emitted_eos = (g == gen.eos_token_id) & (koff[None, :] < c[:, None])
+            hit = jnp.any(emitted_eos, axis=1)
+            first_eos = jnp.argmax(emitted_eos, axis=1)
+            c = jnp.where(hit, jnp.minimum(c, first_eos + 1), c)
+            c = jnp.minimum(c, max_new - n_emit)               # budget clip
+            hit = jnp.any((g == gen.eos_token_id)
+                          & (koff[None, :] < c[:, None]), axis=1)
+            c = jnp.where(done, 0, c)
+            hit = jnp.where(done, False, hit)
+
+            # -- masked scatters of the emitted tokens --
+            emit = koff[None, :] < c[:, None]
+            idx = n_emit[:, None] + koff[None, :]
+            idx_w = jnp.where(emit, idx, max_new)  # OOB -> dropped
+            out = st["out"].at[rows[:, None], idx_w].set(
+                g, mode="drop")
+            hist = st["hist"].at[rows[:, None],
+                                 jnp.where(emit, s + idx, s + max_new)].set(
+                g, mode="drop")
+
+            new_pending = jnp.where(
+                c > 0,
+                jnp.take_along_axis(
+                    g, jnp.clip(c - 1, 0)[:, None], axis=1)[:, 0],
+                pending)
+            return dict(cache=cache, hist=hist, out=out, pending=new_pending,
+                        n_emit=n_emit + c, done=done | hit)
+
+        state = jax.lax.while_loop(cond, body, state)
+        return state["out"]
+
+    return generate
+
+
+def make_spec_multimodal_generate_fn(
+    model,
+    gen: GenerationConfig,
+    cache_dtype=jnp.bfloat16,
+    block_len: int = 8,
+    jit: bool = True,
+    vision_microbatch: int = 128,
+) -> Callable:
+    """Speculative counterpart of generate.make_multimodal_generate_fn:
+    generate(params, input_ids, images, question_ids, prompt_len, rng)."""
+    from .generate import _microbatched_embeds
+
+    gen_fn = make_spec_generate_fn(model, gen, cache_dtype, block_len)
+
+    def generate(params, input_ids, images, question_ids, prompt_len, rng):
+        embeds = _microbatched_embeds(model, params, input_ids, images,
+                                      question_ids, vision_microbatch)
+        return gen_fn(params, embeds, input_ids, prompt_len, rng)
+
+    if jit:
+        generate = jax.jit(generate)
+    return generate

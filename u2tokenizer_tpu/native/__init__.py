@@ -92,3 +92,57 @@ def load_and_preprocess_native(path: str, target: int = 256,
     arr = np.ctypeslib.as_array(out, shape=shape).copy()
     lib.u2_free(out)
     return arr
+
+
+def bulk_preprocess(paths, target: int = 256, chunk_depth: int = 32,
+                    num_chunks: int = 8, num_workers: Optional[int] = None,
+                    out_dir: Optional[str] = None, fallback=None):
+    """Multi-volume ingest work queue over the GIL-free native loader.
+
+    ctypes calls release the GIL for the duration of the C++ load+preprocess,
+    so a thread pool gives true multi-core parallelism with zero IPC cost
+    (the reference's offline resizers use multiprocessing.Pool —
+    src/utils/ct_rate_reduction.py:20-40; threads beat processes here because
+    the per-volume output is ~67 MB that would otherwise be pickled).
+
+    Args:
+      paths: iterable of NIfTI paths.
+      num_workers: thread count (default: os.cpu_count()).
+      out_dir: when set, each result is written as <out_dir>/<stem>.npy and
+        the returned arrays are None (bounded memory for dataset-scale runs).
+      fallback: optional ``path -> (T, D, H, W) array`` used when the native
+        library is unavailable (e.g. data.transforms.U2VolumeTransform).
+
+    Returns:
+      list of (path, array_or_None, error_or_None), input order preserved.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    use_native = native_available()
+    if not use_native and fallback is None:
+        raise RuntimeError("native library unavailable and no fallback given")
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+
+    def work(path: str):
+        try:
+            if use_native:
+                arr = load_and_preprocess_native(path, target, chunk_depth,
+                                                 num_chunks)
+            else:
+                arr = np.asarray(fallback(path), np.float32)
+            if out_dir is not None:
+                stem = os.path.basename(path)
+                for ext in (".nii.gz", ".nii", ".npy"):
+                    if stem.endswith(ext):
+                        stem = stem[: -len(ext)]
+                        break
+                np.save(os.path.join(out_dir, stem + ".npy"), arr)
+                return path, None, None
+            return path, arr, None
+        except Exception as e:  # noqa: BLE001 — per-volume isolation
+            return path, None, f"{type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=num_workers or os.cpu_count()) as ex:
+        return list(ex.map(work, paths))

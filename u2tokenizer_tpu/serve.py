@@ -70,6 +70,32 @@ class U2Server:
         with self._lock:
             return infer(prompt)
 
+    # -- streaming ------------------------------------------------------
+
+    def _stream(self, image, question: str):
+        """Yield text deltas. True token streaming requires the slot engine
+        (EngineInference.inference_stream); other backends fall back to one
+        final chunk — still protocol-valid SSE."""
+        if hasattr(self.model, "inference_stream"):
+            yield from self.model.inference_stream(image, question)
+            return
+        if image is None:
+            yield self.chat([{"role": "user", "content": question}])
+        else:
+            if getattr(self.model, "concurrent", False):
+                yield self.model.inference(image, question)
+            else:
+                with self._lock:
+                    yield self.model.inference(image, question)
+
+    def chat_stream(self, messages):
+        prompt = "\n".join(m.get("content", "") for m in messages)
+        yield from self._stream(None, prompt)
+
+    def report_stream(self, image_path: str, question: str):
+        volume = self.load_volume(image_path)
+        yield from self._stream(volume, question)
+
 
 class TextLMServer:
     """OpenAI-protocol text-LM serving on the framework decoder — the
@@ -186,6 +212,26 @@ def make_handler(server: U2Server):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_sse(self, chunks, wrap):
+            """OpenAI-style server-sent events: one `data: {json}` line per
+            delta, closed with `data: [DONE]`. ``wrap(delta)`` builds the
+            per-chunk payload."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                for delta in chunks:
+                    data = json.dumps(wrap(delta)).encode()
+                    self.wfile.write(b"data: " + data + b"\n\n")
+                    self.wfile.flush()
+            except Exception as e:  # noqa: BLE001 — headers already sent:
+                # surface the error as an SSE event instead of dying silently
+                err = json.dumps({"error": f"{type(e).__name__}: {e}"})
+                self.wfile.write(b"data: " + err.encode() + b"\n\n")
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -215,15 +261,29 @@ def make_handler(server: U2Server):
                 return
             t0 = time.time()
             try:
+                stream = bool(req.get("stream"))
                 if self.path == "/v1/report":
                     if "image_path" not in req or "question" not in req:
                         self._send(400, {"error":
                                          "image_path and question required"})
                         return
+                    if stream:
+                        self._send_sse(
+                            server.report_stream(req["image_path"],
+                                                 req["question"]),
+                            lambda d: {"report_delta": d})
+                        return
                     text = server.report(req["image_path"], req["question"])
                     self._send(200, {"report": text,
                                      "latency_s": round(time.time() - t0, 3)})
                 elif self.path == "/v1/chat/completions":
+                    if stream:
+                        self._send_sse(
+                            server.chat_stream(req.get("messages", [])),
+                            lambda d: {"choices": [{
+                                "delta": {"content": d}, "index": 0,
+                                "finish_reason": None}]})
+                        return
                     text = server.chat(req.get("messages", []))
                     self._send(200, {
                         "choices": [{"message": {"role": "assistant",
@@ -231,8 +291,14 @@ def make_handler(server: U2Server):
                                      "finish_reason": "stop"}],
                     })
                 elif self.path == "/v1/completions":
-                    text = server.chat(
-                        [{"role": "user", "content": req.get("prompt", "")}])
+                    msgs = [{"role": "user", "content": req.get("prompt", "")}]
+                    if stream:
+                        self._send_sse(
+                            server.chat_stream(msgs),
+                            lambda d: {"choices": [{"text": d, "index": 0,
+                                                    "finish_reason": None}]})
+                        return
+                    text = server.chat(msgs)
                     self._send(200, {
                         "choices": [{"text": text, "index": 0,
                                      "finish_reason": "stop"}],

@@ -17,7 +17,11 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     def __init__(self, directory: str, save_total_limit: int = 2,
-                 save_interval_steps: int = 2000):
+                 save_interval_steps: int = 2000, async_save: bool = True):
+        """``async_save``: snapshot device buffers and write in a background
+        thread so the training loop never blocks on checkpoint IO (orbax
+        async checkpointing); in-flight saves are joined before a new save,
+        on latest_step/restore, and on close."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
@@ -25,22 +29,27 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=save_total_limit,
                 save_interval_steps=save_interval_steps,
-                enable_async_checkpointing=False,
+                enable_async_checkpointing=async_save,
             ),
         )
 
-    def save(self, step: int, state: Any, force: bool = False) -> bool:
+    def save(self, step: int, state: Any, force: bool = False,
+             wait: bool = False) -> bool:
+        self._mgr.wait_until_finished()  # join any in-flight async save
         if step in (self._mgr.all_steps() or ()):  # idempotent: the final
             return False  # force-save may coincide with an in-loop save
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force)
-        self._mgr.wait_until_finished()
+        if wait:
+            self._mgr.wait_until_finished()
         return saved
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
