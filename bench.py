@@ -106,10 +106,6 @@ def main():
             params = jax.jit(quantize_llm_weights)(params)
             model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
         elif WQ == "int4":
-            # int4 params work in-jit on this TPU but the axon relay cannot
-            # transfer S4 arrays across jit boundaries (device_put
-            # RecursionError); quantize INSIDE the generate jit instead —
-            # one extra weight pass per 768-step batch (~6 ms, <0.1%).
             model = U2CausalLM(quantized_llm_config(cfg, "int4"),
                                dtype=jnp.bfloat16)
     np.asarray(jax.tree_util.tree_leaves(params)[0])
@@ -123,15 +119,43 @@ def main():
     if SPEC:
         from u2tokenizer_tpu.models.speculative import (
             make_spec_multimodal_generate_fn)
-        gen_fn = make_spec_multimodal_generate_fn(
-            model, gen, cache_dtype=cache_dtype, jit=(WQ != "int4"))
+        base = make_spec_multimodal_generate_fn(
+            model, gen, cache_dtype=cache_dtype, jit=False,
+            return_stats=True)
     else:
-        gen_fn = make_multimodal_generate_fn(
-            model, gen, cache_dtype=cache_dtype, jit=(WQ != "int4"))
-    if WQ == "int4":  # in-jit quantize (axon relay S4 transfer workaround)
-        inner_fn = gen_fn
-        gen_fn = jax.jit(lambda p, *rest: inner_fn(
-            quantize_llm_weights(p, mode="int4"), *rest))
+        base = make_multimodal_generate_fn(
+            model, gen, cache_dtype=cache_dtype, jit=False)
+    if WQ == "int4":
+        # int4 params work in-jit on this TPU, but the axon relay cannot
+        # transfer S4 arrays across jit boundaries (device_put
+        # RecursionError), and keeping bf16 originals resident for an
+        # in-jit quantize OOMs at B64. Decode throughput is weight-value
+        # independent, so build the int4 tree structurally ON DEVICE inside
+        # the generate jit (zeros kernels + unit scales; same approach as
+        # the 8B structural init above).
+        abs_q = jax.eval_shape(
+            lambda p: quantize_llm_weights(p, mode="int4"), params)
+        del params
+
+        def materialize_tree(abs_tree):
+            return jax.tree_util.tree_map(
+                lambda a: (jnp.ones(a.shape, a.dtype)
+                           if jnp.issubdtype(a.dtype, jnp.floating)
+                           else jnp.zeros(a.shape, a.dtype)), abs_tree)
+
+        inner_fn = base
+        base = lambda _p, *rest: inner_fn(  # noqa: E731
+            materialize_tree(abs_q), *rest)
+        params = None
+    base = jax.jit(base)
+    spec_steps = []
+    if SPEC:
+        def gen_fn(*a):  # unwrap (tokens, n_verify_steps)
+            toks, steps = base(*a)
+            spec_steps.append(steps)
+            return toks
+    else:
+        gen_fn = base
 
     log(f"bench: compiling generate (prefill + decode scan, kv={KV_DTYPE})")
     t0 = time.time()
@@ -153,6 +177,15 @@ def main():
     reports_per_min = b * 60.0 / dt
     log(f"bench: {dt:.2f}s per batch of {b} "
         f"({dt / b:.2f}s/report, {reports_per_min:.2f} reports/min/chip)")
+    spec_detail = {}
+    if SPEC and spec_steps:
+        steps = int(np.asarray(spec_steps[-1]))
+        spec_detail = {"verify_steps": steps,
+                       "mean_accept_per_step":
+                           round(MAX_NEW_TOKENS / max(steps, 1), 2)}
+        log(f"bench: speculative — {steps} verify steps for "
+            f"{MAX_NEW_TOKENS} tokens "
+            f"({spec_detail['mean_accept_per_step']} accepted/step)")
 
     print(json.dumps({
         "metric": "reports/min/chip",
@@ -168,6 +201,7 @@ def main():
             "kv_cache": KV_DTYPE,
             "weights": WQ,
             "speculative": SPEC,
+            **spec_detail,
             "baseline_estimated": False,
             "baseline_derivation": "measured-CPU-overhead x A40 "
                                    "weight-streaming bound "

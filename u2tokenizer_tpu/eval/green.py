@@ -300,7 +300,7 @@ class JaxJudge:
 
     def __init__(self, model, params, tokenizer, batch_size: int = 4,
                  max_length: int = 2048, max_new_tokens: int = 600,
-                 chat_format: bool = True):
+                 chat_format: bool = True, speculative: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -320,7 +320,18 @@ class JaxJudge:
             pad_token_id=tokenizer.pad_token_id or 0)
         self.gen_cfg = gen
         self.chat_format = chat_format
-        self._gen = jax.jit(make_generate_fn(model, gen))
+        # The judge decodes greedily and its output quotes sentences from
+        # the two reports embedded in the prompt, so n-gram self-drafting
+        # speculative decoding (bit-identical for greedy) accelerates the
+        # GREEN hot loop (SURVEY §7: judge throughput dominates the DPO
+        # pipeline). The spec path needs the prompt token ids for drafting.
+        self.speculative = speculative
+        if speculative:
+            from ..models.speculative import make_spec_generate_fn
+
+            self._gen = jax.jit(make_spec_generate_fn(model, gen))
+        else:
+            self._gen = jax.jit(make_generate_fn(model, gen))
 
     @staticmethod
     def _tail_batch(remainder: int, bs: int) -> int:
@@ -359,8 +370,14 @@ class JaxJudge:
                 lens[j] = len(e)
             embeds = self.model.apply(self.params, jnp.asarray(ids),
                                       method=type(self.model).embed_tokens)
-            toks = np.asarray(self._gen(self.params, embeds,
-                                        jnp.asarray(lens), jax.random.PRNGKey(0)))
+            if self.speculative:
+                toks = np.asarray(self._gen(
+                    self.params, embeds, jnp.asarray(ids),
+                    jnp.asarray(lens), jax.random.PRNGKey(0)))
+            else:
+                toks = np.asarray(self._gen(
+                    self.params, embeds, jnp.asarray(lens),
+                    jax.random.PRNGKey(0)))
             for j in range(len(prompts[i:i + bs])):
                 text = self.tokenizer.decode(
                     [t for t in toks[j] if t != self.gen_cfg.pad_token_id],

@@ -64,6 +64,7 @@ def make_spec_generate_fn(
     gen: GenerationConfig,
     cache_dtype=jnp.bfloat16,
     block_len: int = 8,
+    return_stats: bool = False,
 ) -> Callable:
     """Build generate(params, inputs_embeds, prompt_ids, prompt_len, rng).
 
@@ -71,6 +72,9 @@ def make_spec_generate_fn(
     signature plus ``prompt_ids`` (B, S) — the drafting history seed (pad
     columns beyond prompt_len are ignored). Returns (B, max_new_tokens) ids,
     pad-filled after EOS, bit-identical to the plain greedy loop.
+
+    ``return_stats=True``: returns (tokens, n_verify_steps); mean accepted
+    tokens per verify step = total_emitted / n_verify_steps.
     """
     if gen.do_sample:
         raise ValueError("speculative decoding supports greedy only "
@@ -120,6 +124,7 @@ def make_spec_generate_fn(
             pending=tok0,
             n_emit=jnp.ones((b,), jnp.int32),
             done=(tok0 == gen.eos_token_id),
+            n_steps=jnp.int32(0),
         )
 
         def cond(st):
@@ -184,9 +189,12 @@ def make_spec_generate_fn(
                     g, jnp.clip(c - 1, 0)[:, None], axis=1)[:, 0],
                 pending)
             return dict(cache=cache, hist=hist, out=out, pending=new_pending,
-                        n_emit=n_emit + c, done=done | hit)
+                        n_emit=n_emit + c, done=done | hit,
+                        n_steps=st["n_steps"] + 1)
 
         state = jax.lax.while_loop(cond, body, state)
+        if return_stats:
+            return state["out"], state["n_steps"]
         return state["out"]
 
     return generate
@@ -199,12 +207,14 @@ def make_spec_multimodal_generate_fn(
     block_len: int = 8,
     jit: bool = True,
     vision_microbatch: int = 128,
+    return_stats: bool = False,
 ) -> Callable:
     """Speculative counterpart of generate.make_multimodal_generate_fn:
     generate(params, input_ids, images, question_ids, prompt_len, rng)."""
     from .generate import _microbatched_embeds
 
-    gen_fn = make_spec_generate_fn(model, gen, cache_dtype, block_len)
+    gen_fn = make_spec_generate_fn(model, gen, cache_dtype, block_len,
+                                   return_stats)
 
     def generate(params, input_ids, images, question_ids, prompt_len, rng):
         embeds = _microbatched_embeds(model, params, input_ids, images,

@@ -126,7 +126,15 @@ class TextLMServer:
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id or 0)
         self._jax = jax
-        self._gen = jax.jit(make_generate_fn(model, self.gen_cfg))
+        # greedy serving rides speculative decoding (bit-identical output;
+        # n-gram self-drafting pays off on template-heavy completions)
+        self._speculative = not do_sample
+        if self._speculative:
+            from .models.speculative import make_spec_generate_fn
+
+            self._gen = jax.jit(make_spec_generate_fn(model, self.gen_cfg))
+        else:
+            self._gen = jax.jit(make_generate_fn(model, self.gen_cfg))
         self._lock = threading.Lock()
         self._calls = 0
 
@@ -141,9 +149,13 @@ class TextLMServer:
             self._calls += 1
             embeds = self.model.apply(self.params, jnp.asarray(arr),
                                       method=type(self.model).embed_tokens)
-            toks = np.asarray(self._gen(
-                self.params, embeds, jnp.asarray([len(ids)], jnp.int32),
-                self._jax.random.PRNGKey(self._calls)))
+            lens = jnp.asarray([len(ids)], jnp.int32)
+            key = self._jax.random.PRNGKey(self._calls)
+            if self._speculative:
+                toks = np.asarray(self._gen(self.params, embeds,
+                                            jnp.asarray(arr), lens, key))
+            else:
+                toks = np.asarray(self._gen(self.params, embeds, lens, key))
         return self.tokenizer.decode(
             [t for t in toks[0] if t != self.gen_cfg.pad_token_id],
             skip_special_tokens=True)
