@@ -40,6 +40,7 @@ BATCH = int(__import__("os").environ.get(
 KV_DTYPE = __import__("os").environ.get("BENCH_KV", "int8")  # int8 | bf16
 WQ = __import__("os").environ.get("BENCH_WQ", "int8")  # int8|int4|bf16|fp32
 SPEC = __import__("os").environ.get("BENCH_SPEC", "0") == "1"  # speculative
+VMB = int(__import__("os").environ.get("BENCH_VMB", "128"))  # vision microbatch
 PROMPT_LEN = 1024
 MAX_NEW_TOKENS = 768
 
@@ -78,20 +79,26 @@ def main():
     from u2tokenizer_tpu.models.quantize import (
         cast_for_inference, quantize_llm_weights, quantized_llm_config)
 
-    if MODEL == "8b":
-        # 8B fp32 init (32 GB) cannot materialize on one 16 GB chip; build
-        # the QUANTIZED param tree structurally (eval_shape + zeros: int8
-        # kernels + unit scales, no init forward — its fp32 logits/dequant
-        # temps OOM on top of the 8.2 GB weights; decode throughput is
-        # weight-value independent).
-        assert WQ == "int8", "8B single-chip serving requires int8 weights"
-        model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
+    if MODEL == "8b" or WQ == "int4":
+        # Structural quantized params (no init forward): the 8B fp32 init
+        # (32 GB) cannot materialize on one 16 GB chip, and the relay
+        # cannot transfer S4 (int4) arrays across jit boundaries — so build
+        # the QUANTIZED tree from eval_shape of the quantized model's init
+        # (int8/int4 kernel placeholders + unit scales; decode throughput
+        # is weight-value independent). int4 trees are materialized lazily
+        # inside the generate jit (see below).
+        assert WQ in ("int8", "int4"), \
+            "8B single-chip serving requires quantized weights"
+        model = U2CausalLM(quantized_llm_config(cfg, WQ), dtype=jnp.bfloat16)
         abs_tree = jax.eval_shape(lambda r: model.init(
             r, input_ids[:1], images[:1], question_ids[:1]), rng)
         dt = lambda a: jnp.bfloat16 if (a.dtype == jnp.float32 and
                                         len(a.shape) >= 2) else a.dtype
-        params = jax.jit(lambda: jax.tree_util.tree_map(
-            lambda a: jnp.zeros(a.shape, dt(a)), abs_tree))()
+        if WQ == "int4":
+            params = None  # built in-jit (S4 can't cross the jit boundary)
+        else:
+            params = jax.jit(lambda: jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape, dt(a)), abs_tree))()
     else:
         params = jax.jit(lambda r: model.init(
             r, input_ids[:1], images[:1], question_ids[:1]))(rng)
@@ -105,10 +112,8 @@ def main():
         if WQ == "int8":
             params = jax.jit(quantize_llm_weights)(params)
             model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
-        elif WQ == "int4":
-            model = U2CausalLM(quantized_llm_config(cfg, "int4"),
-                               dtype=jnp.bfloat16)
-    np.asarray(jax.tree_util.tree_leaves(params)[0])
+    if params is not None:
+        np.asarray(jax.tree_util.tree_leaves(params)[0])
     log(f"bench: serving weights = {WQ}")
 
     gen = GenerationConfig(max_new_tokens=MAX_NEW_TOKENS, do_sample=False,
@@ -121,23 +126,19 @@ def main():
             make_spec_multimodal_generate_fn)
         base = make_spec_multimodal_generate_fn(
             model, gen, cache_dtype=cache_dtype, jit=False,
-            return_stats=True)
+            return_stats=True, vision_microbatch=VMB)
     else:
         base = make_multimodal_generate_fn(
-            model, gen, cache_dtype=cache_dtype, jit=False)
+            model, gen, cache_dtype=cache_dtype, jit=False,
+            vision_microbatch=VMB)
     if WQ == "int4":
-        # int4 params work in-jit on this TPU, but the axon relay cannot
-        # transfer S4 arrays across jit boundaries (device_put
-        # RecursionError), and keeping bf16 originals resident for an
-        # in-jit quantize OOMs at B64. Decode throughput is weight-value
-        # independent, so build the int4 tree structurally ON DEVICE inside
-        # the generate jit (zeros kernels + unit scales; same approach as
-        # the 8B structural init above).
-        abs_q = jax.eval_shape(
-            lambda p: quantize_llm_weights(p, mode="int4"), params)
-        del params
-
-        def materialize_tree(abs_tree):
+        # The int4 tree is materialized ON DEVICE inside the generate jit
+        # (ones for float scales/norms, zeros for quantized kernels):
+        # the relay cannot transfer S4 arrays across jit boundaries, and
+        # keeping bf16 originals resident for an in-jit quantize OOMs at
+        # B64. abs_tree comes from eval_shape of the quantized model's
+        # init (structural branch above).
+        def materialize_tree():
             return jax.tree_util.tree_map(
                 lambda a: (jnp.ones(a.shape, a.dtype)
                            if jnp.issubdtype(a.dtype, jnp.floating)
@@ -145,8 +146,7 @@ def main():
 
         inner_fn = base
         base = lambda _p, *rest: inner_fn(  # noqa: E731
-            materialize_tree(abs_q), *rest)
-        params = None
+            materialize_tree(), *rest)
     base = jax.jit(base)
     spec_steps = []
     if SPEC:

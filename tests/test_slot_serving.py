@@ -169,3 +169,33 @@ def test_engine_tensor_parallel_matches(setup):
     out = tp_engine.run()
     for a, b in zip(rids, rids2):
         assert ref[a] == out[b], (ref[a], out[b])
+
+
+def test_spec_engine_matches_plain_engine(setup):
+    """Speculative slot engine: same tokens as the plain engine (greedy),
+    including mid-flight admissions and per-slot divergent acceptance."""
+    cfg, model, params, gen, requests = setup
+    plain = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                   cache_dtype=jnp.float32)
+    rids_p = [plain.submit(*requests[i]) for i in range(5)]
+    ref = plain.run()
+
+    spec = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                  cache_dtype=jnp.float32, speculative=True, block_len=4)
+    rids_s = [spec.submit(*requests[i]) for i in range(5)]
+    out = spec.run()
+    for a, b in zip(rids_p, rids_s):
+        assert ref[a] == out[b], (ref[a], out[b])
+
+
+def test_spec_engine_int8_cache(setup):
+    cfg, model, params, gen, requests = setup
+    plain = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                   cache_dtype="int8")
+    r_p = plain.submit(*requests[0])
+    ref = plain.run()
+    spec = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                  cache_dtype="int8", speculative=True, block_len=4)
+    r_s = spec.submit(*requests[0])
+    out = spec.run()
+    assert ref[r_p] == out[r_s]

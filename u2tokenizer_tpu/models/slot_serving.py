@@ -44,6 +44,9 @@ class SlotState:
     active: jax.Array       # (S,) bool slot holds a live request
     done: jax.Array         # (S,) bool request hit EOS (still occupies slot
                             # until the host collects it)
+    hist: Optional[jax.Array] = None  # (S, prompt_buf + max_new) int32 token
+                            # history for speculative drafting (None when the
+                            # engine runs the plain one-token step)
 
 
 def make_slot_fns(model, gen: GenerationConfig, num_slots: int,
@@ -127,6 +130,144 @@ def make_slot_fns(model, gen: GenerationConfig, num_slots: int,
     return init_state, prefill_fn, decode_fn
 
 
+def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
+                       prompt_buf: int, cache_dtype=jnp.bfloat16,
+                       block_len: int = 8):
+    """Speculative (greedy-only) slot functions: each decode call runs one
+    n-gram-drafted verify block per slot and emits 1..block_len tokens, so
+    the host drives ~mean-acceptance× fewer device steps — a large win where
+    per-step dispatch latency is material (the axon relay costs ~30-40 ms
+    per call). Tokens are bit-identical to the plain slot engine
+    (models/speculative.py acceptance rule).
+
+    decode_fn(params, state, rng) -> (state, tokens (S, block_len),
+    counts (S,)): row j emitted tokens[j, :counts[j]].
+    """
+    from .speculative import ngram_draft
+    from .u2_model import causal_padding_mask
+
+    if gen.do_sample:
+        raise ValueError("speculative slot engine supports greedy only")
+    llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
+    kb = block_len
+    max_new = gen.max_new_tokens
+    # +kb slack: a verify block near the last live slot writes past it
+    total = prompt_buf + max_new + kb
+    hist_len = prompt_buf + max_new
+
+    def init_state() -> SlotState:
+        z = lambda dt: jnp.zeros((num_slots,), dt)
+        return SlotState(
+            cache=KVCache.create(llm_cfg, num_slots, total, cache_dtype),
+            tok=z(jnp.int32), prompt_len=z(jnp.int32), n_gen=z(jnp.int32),
+            active=z(bool), done=z(bool),
+            hist=jnp.full((num_slots, hist_len), -1, jnp.int32))
+
+    @jax.jit
+    def prefill_fn(params, state: SlotState, embeds, prompt_ids, prompt_len,
+                   slot, rng):
+        """embeds: (1, prompt_buf, E); prompt_ids: (1, prompt_buf) the raw
+        prompt tokens (drafting history seed); prompt_len/slot scalars."""
+        s = embeds.shape[1]
+        one_cache = KVCache.create(llm_cfg, 1, total, cache_dtype)
+        att = (jnp.arange(s)[None, :] < prompt_len).astype(jnp.int32)
+        positions = jnp.arange(s, dtype=jnp.int32)[None]
+        _, hidden, one_cache = model.apply(
+            params, embeds, attention_mask=None, cache=one_cache,
+            write_index=jnp.int32(0), positions=positions,
+            mask=causal_padding_mask(att),
+            lens=jnp.asarray([prompt_len], jnp.int32), compute_logits=False,
+            method="forward_embeds")
+        last_hidden = jax.lax.dynamic_slice_in_dim(
+            hidden, prompt_len - 1, 1, axis=1)
+        last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
+        tok0 = jnp.argmax(last, axis=-1).astype(jnp.int32)[0]
+
+        ins = lambda big, small: jax.lax.dynamic_update_slice(
+            big, small, (slot,) + (0,) * (big.ndim - 1))
+        cache = jax.tree_util.tree_map(ins, state.cache, one_cache)
+        row = jnp.full((hist_len,), -1, jnp.int32)
+        row = jax.lax.dynamic_update_slice(
+            row, jnp.where(att[0].astype(bool), prompt_ids[0], -1), (0,))
+        row = row.at[prompt_buf].set(tok0)
+        return SlotState(
+            cache=cache,
+            tok=state.tok.at[slot].set(tok0),
+            prompt_len=state.prompt_len.at[slot].set(prompt_len),
+            n_gen=state.n_gen.at[slot].set(0),
+            active=state.active.at[slot].set(True),
+            done=state.done.at[slot].set(tok0 == gen.eos_token_id),
+            hist=state.hist.at[slot].set(row),
+        ), tok0
+
+    kv_pos = jnp.arange(total, dtype=jnp.int32)
+    koff = jnp.arange(kb, dtype=jnp.int32)
+    rows = jnp.arange(num_slots)
+
+    @jax.jit
+    def decode_fn(params, state: SlotState, rng):
+        del rng  # greedy
+        n_w = state.n_gen                      # KV-written generated tokens
+        pending = state.tok
+        # n_gen counts decode-emitted tokens; +1 for the prefill token
+        n_emit = state.n_gen + 1
+
+        idx_last = prompt_buf + n_w
+        prev = jnp.where(
+            n_w >= 1,
+            jnp.take_along_axis(
+                state.hist, jnp.clip(idx_last - 1, 0)[:, None],
+                axis=1)[:, 0],
+            jnp.take_along_axis(
+                state.hist, jnp.clip(state.prompt_len - 1, 0)[:, None],
+                axis=1)[:, 0])
+        drafts = ngram_draft(state.hist, idx_last, prev, pending, kb - 1)
+
+        f = jnp.concatenate([pending[:, None], drafts], axis=1)
+        emb = model.apply(params, f, method="embed_tokens")
+        pos = (state.prompt_len + n_w)[:, None] + koff[None, :]
+        key_ok = (kv_pos[None, None, :] < state.prompt_len[:, None, None]) | (
+            (kv_pos[None, None, :] >= prompt_buf) &
+            (kv_pos[None, None, :] <= (prompt_buf + n_w)[:, None, None]
+             + koff[None, :, None]))
+        logits, _, cache = model.apply(
+            params, emb, pos.astype(jnp.int32), key_ok[:, None],
+            state.cache, prompt_buf + n_w, method="decode_step")
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        match = f[:, 1:] == g[:, :-1]
+        chain = jnp.cumprod(match.astype(jnp.int32), axis=1)
+        c = 1 + jnp.sum(chain, axis=1)
+        emitted_eos = (g == gen.eos_token_id) & (koff[None, :] < c[:, None])
+        first_eos = jnp.argmax(emitted_eos, axis=1)
+        c = jnp.where(jnp.any(emitted_eos, axis=1),
+                      jnp.minimum(c, first_eos + 1), c)
+        c = jnp.minimum(c, max_new - n_emit)   # budget
+        emit_ok = state.active & ~state.done
+        c = jnp.where(emit_ok, jnp.maximum(c, 0), 0)
+        hit = jnp.any((g == gen.eos_token_id)
+                      & (koff[None, :] < c[:, None]), axis=1)
+
+        emit = koff[None, :] < c[:, None]
+        toks = jnp.where(emit, g, jnp.int32(gen.pad_token_id))
+        hist_idx = jnp.where(
+            emit, prompt_buf + n_emit[:, None] + koff[None, :], hist_len)
+        hist = state.hist.at[rows[:, None], hist_idx].set(g, mode="drop")
+        new_pending = jnp.where(
+            c > 0,
+            jnp.take_along_axis(g, jnp.clip(c - 1, 0)[:, None], axis=1)[:, 0],
+            pending)
+        n_gen = state.n_gen + c
+        newly_done = emit_ok & (hit | (n_gen + 1 >= max_new))
+        return SlotState(
+            cache=cache, tok=new_pending, prompt_len=state.prompt_len,
+            n_gen=n_gen, active=state.active, done=state.done | newly_done,
+            hist=hist,
+        ), toks, c
+
+    return init_state, prefill_fn, decode_fn
+
+
 @dataclasses.dataclass
 class _Request:
     rid: int
@@ -135,21 +276,33 @@ class _Request:
     tokens: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     finished: bool = False
+    prompt_ids: Any = None   # (1, prompt_buf) int32; speculative drafting seed
 
 
 class Engine:
-    """Host-side continuous-batching scheduler over the slot pool."""
+    """Host-side continuous-batching scheduler over the slot pool.
+
+    ``speculative=True`` (greedy only): each device step runs an n-gram-
+    drafted verify block per slot and can emit up to ``block_len`` tokens —
+    same tokens, ~acceptance× fewer host→device round trips.
+    """
 
     def __init__(self, model, params, gen: GenerationConfig,
                  num_slots: int = 8, prompt_buf: int = 1024,
-                 cache_dtype=jnp.bfloat16, seed: int = 0):
+                 cache_dtype=jnp.bfloat16, seed: int = 0,
+                 speculative: bool = False, block_len: int = 8):
         self.model = model
         self.params = params
         self.gen = gen
         self.num_slots = num_slots
         self.prompt_buf = prompt_buf
-        init_state, self._prefill, self._decode = make_slot_fns(
-            model, gen, num_slots, prompt_buf, cache_dtype)
+        self.speculative = speculative
+        if speculative:
+            init_state, self._prefill, self._decode = make_spec_slot_fns(
+                model, gen, num_slots, prompt_buf, cache_dtype, block_len)
+        else:
+            init_state, self._prefill, self._decode = make_slot_fns(
+                model, gen, num_slots, prompt_buf, cache_dtype)
         self.state = init_state()
         self._rng = jax.random.PRNGKey(seed)
         self._queue: deque = deque()
@@ -159,11 +312,14 @@ class Engine:
 
     # -- submission ---------------------------------------------------------
 
-    def submit_embeds(self, embeds, prompt_len: int) -> int:
-        """Queue a request given (1, prompt_buf, E) prompt embeddings."""
+    def submit_embeds(self, embeds, prompt_len: int, prompt_ids=None) -> int:
+        """Queue a request given (1, prompt_buf, E) prompt embeddings.
+        ``prompt_ids`` seeds speculative drafting; without it the history
+        match simply never fires on the prompt (still correct)."""
         rid = self._next_rid
         self._next_rid += 1
-        self._queue.append(_Request(rid, embeds, prompt_len))
+        self._queue.append(_Request(rid, embeds, prompt_len,
+                                    prompt_ids=prompt_ids))
         return rid
 
     def submit(self, input_ids, images=None, question_ids=None) -> int:
@@ -177,7 +333,7 @@ class Engine:
         embeds = self.model.apply(
             self.params, jnp.asarray(padded), images, question_ids,
             method="prepare_inputs_embeds")
-        return self.submit_embeds(embeds, prompt_len)
+        return self.submit_embeds(embeds, prompt_len, jnp.asarray(padded))
 
     # -- scheduling ---------------------------------------------------------
 
@@ -206,9 +362,17 @@ class Engine:
             slot = free[0]
             req = self._queue.popleft()
             self._rng, sub = jax.random.split(self._rng)
-            self.state, tok0 = self._prefill(
-                self.params, self.state, req.embeds,
-                jnp.int32(req.prompt_len), jnp.int32(slot), sub)
+            if self.speculative:
+                ids = req.prompt_ids
+                if ids is None:  # no drafting seed: sentinel row
+                    ids = jnp.full((1, self.prompt_buf), -1, jnp.int32)
+                self.state, tok0 = self._prefill(
+                    self.params, self.state, req.embeds, ids,
+                    jnp.int32(req.prompt_len), jnp.int32(slot), sub)
+            else:
+                self.state, tok0 = self._prefill(
+                    self.params, self.state, req.embeds,
+                    jnp.int32(req.prompt_len), jnp.int32(slot), sub)
             req.slot = slot
             req.tokens.append(int(tok0))
             self._by_slot[slot] = req
@@ -216,13 +380,23 @@ class Engine:
             return True
         if self._by_slot:
             self._rng, sub = jax.random.split(self._rng)
-            self.state, toks = self._decode(self.params, self.state, sub)
-            toks = np.asarray(toks)
-            # every tracked slot had done=False before this step (finished
-            # rows are collected first), so all emitted tokens are real
-            for slot, req in self._by_slot.items():
-                if len(req.tokens) < self.gen.max_new_tokens:
-                    req.tokens.append(int(toks[slot]))
+            if self.speculative:
+                self.state, toks, counts = self._decode(
+                    self.params, self.state, sub)
+                toks, counts = np.asarray(toks), np.asarray(counts)
+                for slot, req in self._by_slot.items():
+                    room = self.gen.max_new_tokens - len(req.tokens)
+                    for t in toks[slot][: min(int(counts[slot]), room)]:
+                        req.tokens.append(int(t))
+            else:
+                self.state, toks = self._decode(self.params, self.state, sub)
+                toks = np.asarray(toks)
+                # every tracked slot had done=False before this step
+                # (finished rows are collected first), so all emitted
+                # tokens are real
+                for slot, req in self._by_slot.items():
+                    if len(req.tokens) < self.gen.max_new_tokens:
+                        req.tokens.append(int(toks[slot]))
             self._collect_finished()
             return True
         return bool(self._queue)
@@ -249,7 +423,8 @@ class EngineInference:
                  max_new_tokens: int = 768, do_sample: bool = False,
                  top_p: float = 0.9, num_slots: int = 8,
                  prompt_buf: int = 1024, cache_dtype=jnp.bfloat16,
-                 question_len: int = 64):
+                 question_len: int = 64, speculative: Optional[bool] = None,
+                 block_len: int = 8):
         import queue
         import threading
 
@@ -260,9 +435,12 @@ class EngineInference:
             max_new_tokens=max_new_tokens, do_sample=do_sample, top_p=top_p,
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id or 0)
+        if speculative is None:  # greedy serving defaults to speculative
+            speculative = not do_sample
         self.engine = Engine(model, params, self.gen_cfg,
                              num_slots=num_slots, prompt_buf=prompt_buf,
-                             cache_dtype=cache_dtype)
+                             cache_dtype=cache_dtype,
+                             speculative=speculative, block_len=block_len)
         self._submit_q: "queue.Queue" = queue.Queue()
         self._cv = threading.Condition()
         self._results: Dict[int, List[int]] = {}
