@@ -120,7 +120,8 @@ def main():
                            eos_token_id=-2, pad_token_id=0)
     import jax.numpy as _jnp
 
-    cache_dtype = "int8" if KV_DTYPE == "int8" else _jnp.bfloat16
+    cache_dtype = (KV_DTYPE if KV_DTYPE in ("int8", "int4")
+                   else _jnp.bfloat16)
     if SPEC:
         from u2tokenizer_tpu.models.speculative import (
             make_spec_multimodal_generate_fn)

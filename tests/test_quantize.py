@@ -209,3 +209,44 @@ def test_int4_generate_runs(tiny_lm):
         qparams, emb, prompt_len, jax.random.PRNGKey(3)))
     assert toks.shape == (2, 6)
     assert (toks >= 0).all() and (toks < cfg.vocab_size).all()
+
+
+def test_quantize_kv_int4_accuracy():
+    """int4 KV rows: exact on grid values, bounded error on random rows."""
+    from u2tokenizer_tpu.ops.attention import quantize_kv
+
+    rng = np.random.default_rng(0)
+    grid = rng.integers(-7, 8, (2, 5, 3, 16)).astype(np.float32)
+    grid[..., 0] = 7  # pin each row's max so the derived scale is exact
+    sc = rng.uniform(0.5, 2.0, (2, 5, 3, 1)).astype(np.float32)
+    x = jnp.asarray(grid * sc)
+    q, s = quantize_kv(x, dtype=jnp.int4)
+    assert q.dtype == jnp.int4
+    back = np.asarray(q.astype(jnp.float32)) * np.asarray(
+        s.astype(jnp.float32))
+    np.testing.assert_allclose(back, np.asarray(x), rtol=2e-2, atol=2e-2)
+
+    y = jnp.asarray(rng.normal(size=(2, 5, 3, 16)).astype(np.float32))
+    q, s = quantize_kv(y, dtype=jnp.int4)
+    back = np.asarray(q.astype(jnp.float32)) * np.asarray(
+        s.astype(jnp.float32))
+    err = np.abs(back - np.asarray(y)).max() / np.abs(y).max()
+    assert err < 0.15, err  # half an int4 step of the per-row max
+
+
+def test_int4_kv_cache_generate(tiny_lm):
+    """Generate with the int4 KV cache: prefill is exact (attends fresh
+    k/v), so the first token must match the fp32-cache path; later tokens
+    run under int4 quantization noise (shape/validity checked)."""
+    cfg, model, params, ids = tiny_lm
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    prompt_len = jnp.array([16, 12], jnp.int32)
+    att = jnp.arange(16)[None, :] < prompt_len[:, None]
+    emb = model.apply(params, ids * att, method="embed_tokens")
+    exact = np.asarray(make_generate_fn(model, gen, jnp.float32)(
+        params, emb, prompt_len, jax.random.PRNGKey(3)))
+    q4 = np.asarray(make_generate_fn(model, gen, "int4")(
+        params, emb, prompt_len, jax.random.PRNGKey(3)))
+    np.testing.assert_array_equal(exact[:, 0], q4[:, 0])
+    assert q4.shape == (2, 6) and (q4 >= 0).all()

@@ -64,7 +64,7 @@ def _embeds(model, params, ids, prompt_len):
     return model.apply(params, ids * att, method="embed_tokens")
 
 
-@pytest.mark.parametrize("cache_dtype", [jnp.float32, "int8"])
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, "int8", "int4"])
 def test_spec_matches_plain_greedy(tiny_lm, cache_dtype):
     cfg, model, params, ids, prompt_len = tiny_lm
     gen = GenerationConfig(max_new_tokens=16, do_sample=False,

@@ -1,0 +1,68 @@
+"""Continuous-batching (slot engine) throughput on the real chip, 1.7B.
+
+Run from the repo root: ``python tools_bench_slots.py`` (results recorded
+in BENCHMARKS.md "Continuous batching").
+
+Short decode (64 new tokens) so the run is bounded; 16 text requests over
+8 slots with mid-flight admission. Reports tokens/s and per-dispatch cost —
+on the axon relay each host->device dispatch costs ~30-40 ms, which
+dominates; the speculative engine divides dispatch count by ~acceptance.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from u2tokenizer_tpu.config import GenerationConfig, LLMConfig
+from u2tokenizer_tpu.models.llm.decoder import CausalLM
+from u2tokenizer_tpu.models.quantize import (cast_for_inference,
+                                             quantize_llm_weights,
+                                             quantized_llm_config)
+from u2tokenizer_tpu.models.slot_serving import Engine
+
+PROMPT, MAX_NEW, SLOTS, NREQ = 1024, 64, 8, 16
+
+cfg = LLMConfig.qwen3_1_7b()
+model = CausalLM(cfg, dtype=jnp.bfloat16)
+rng = jax.random.PRNGKey(0)
+emb0 = jnp.zeros((1, 8, cfg.hidden_size), jnp.bfloat16)
+t0 = time.time()
+params = jax.jit(lambda r: model.init(r, emb0, jnp.zeros((1, 8), jnp.int32),
+                                      jnp.ones((1, 1, 8, 8), bool)))(rng)
+params = jax.jit(lambda p: quantize_llm_weights(cast_for_inference(p)))(params)
+np.asarray(jax.tree_util.tree_leaves(params)[0])
+qmodel = CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
+print(f"init {time.time()-t0:.0f}s", flush=True)
+
+gen = GenerationConfig(max_new_tokens=MAX_NEW, do_sample=False,
+                       eos_token_id=-2, pad_token_id=0)
+reqs = [np.asarray(jax.random.randint(jax.random.PRNGKey(i), (1, PROMPT),
+                                      1, cfg.vocab_size), np.int32)
+        for i in range(NREQ)]
+
+for label, spec in (("plain", False), ("speculative", True)):
+    eng = Engine(qmodel, params, gen, num_slots=SLOTS, prompt_buf=PROMPT,
+                 cache_dtype="int8", speculative=spec)
+    # warm the jits (prefill + decode compile) with one request
+    r0 = eng.submit(reqs[0])
+    t0 = time.time()
+    eng.run()
+    print(f"{label}: warm-up request (compiles) {time.time()-t0:.0f}s",
+          flush=True)
+
+    eng2 = Engine(qmodel, params, gen, num_slots=SLOTS, prompt_buf=PROMPT,
+                  cache_dtype="int8", speculative=spec)
+    for r in reqs:
+        eng2.submit(r)
+    steps = 0
+    t0 = time.time()
+    while eng2._queue or eng2._by_slot:
+        eng2.step()
+        steps += 1
+    dt = time.time() - t0
+    out = eng2._results
+    toks = sum(len(v) for v in out.values())
+    print(f"{label}: {NREQ} reqs x {MAX_NEW} tok on {SLOTS} slots: "
+          f"{dt:.1f}s, {toks} tokens -> {toks/dt:.0f} tok/s, "
+          f"{steps} dispatches ({dt/steps*1e3:.0f} ms/dispatch)", flush=True)

@@ -45,9 +45,12 @@ class KVCache:
     in place inside the decode scan — a stacked cache forces
     slice+update+re-stack copies of the whole cache every step.
 
-    Optional int8 quantization (``create(..., dtype="int8")``): values are
-    stored int8 with per-(position, head) bf16 scales; decode reads half the
-    HBM bytes (the decode loop is cache-bandwidth-bound at large batch)."""
+    Optional int8/int4 quantization (``create(..., dtype="int8"|"int4")``):
+    values are stored quantized with per-(position, head) bf16 scales;
+    decode reads half (int8) / a quarter (int4) of the HBM bytes (the
+    decode loop is cache-bandwidth-bound at large batch). int4 buffers
+    live entirely inside the generate jit, so the relay's S4 transfer
+    limitation never applies to the cache."""
 
     k: Tuple[jax.Array, ...]
     v: Tuple[jax.Array, ...]
@@ -58,14 +61,15 @@ class KVCache:
     def create(cls, cfg: LLMConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
-        if dtype in ("int8", jnp.int8):
+        if dtype in ("int8", jnp.int8, "int4", jnp.int4):
+            qdt = jnp.int4 if dtype in ("int4", jnp.int4) else jnp.int8
             # scales live as (B, Hkv, S) fp32: a trailing dim of 1 would be
             # lane-padded 1->128 by the TPU tiler (measured: 14 GB of pure
             # padding at B64), while (Hkv, S) tiles exactly.
             sshape = (batch, cfg.num_kv_heads, max_len)
             zeros = lambda sh, dt: tuple(jnp.zeros(sh, dt)
                                          for _ in range(cfg.num_layers))
-            return cls(k=zeros(shape, jnp.int8), v=zeros(shape, jnp.int8),
+            return cls(k=zeros(shape, qdt), v=zeros(shape, qdt),
                        k_scale=zeros(sshape, jnp.float32),
                        v_scale=zeros(sshape, jnp.float32))
         return cls(k=tuple(jnp.zeros(shape, dtype)
@@ -244,9 +248,9 @@ class Attention(nn.Module):
                 dus_s = lambda buf, val: jax.lax.dynamic_update_slice(
                     buf, jnp.transpose(val[..., 0], (0, 2, 1)).astype(
                         buf.dtype), (0, 0, write_index))
-            if ks is not None:  # int8 cache: quantize on write
-                k_q, k_s = quantize_kv(k)
-                v_q, v_s = quantize_kv(v)
+            if ks is not None:  # int8/int4 cache: quantize on write
+                k_q, k_s = quantize_kv(k, dtype=ck.dtype)
+                v_q, v_s = quantize_kv(v, dtype=cv.dtype)
                 ck, cv = dus(ck, k_q), dus(cv, v_q)
                 ks, vs = dus_s(ks, k_s), dus_s(vs, v_s)
                 quantized_decode = s == 1 or per_row
@@ -273,6 +277,7 @@ class Attention(nn.Module):
                      and jax.default_backend() == "tpu")
         if quantized_decode:
             if (s == 1 and decode_bounds is not None
+                    and k_att.dtype == jnp.int8  # pallas kernel is int8-only
                     and cfg.use_flash_attention
                     and jax.default_backend() == "tpu"):
                 # fused Pallas kernel: one pass over the int8 cache, scales

@@ -140,8 +140,9 @@ def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
     per call). Tokens are bit-identical to the plain slot engine
     (models/speculative.py acceptance rule).
 
-    decode_fn(params, state, rng) -> (state, tokens (S, block_len),
-    counts (S,)): row j emitted tokens[j, :counts[j]].
+    decode_fn(params, state, rng) -> (state, packed (S, block_len + 1)):
+    row j emitted packed[j, :packed[j, -1]] (tokens and per-row counts
+    packed into one array so the host fetches once per step).
     """
     from .speculative import ngram_draft
     from .u2_model import causal_padding_mask
@@ -259,11 +260,13 @@ def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
             pending)
         n_gen = state.n_gen + c
         newly_done = emit_ok & (hit | (n_gen + 1 >= max_new))
+        # tokens and counts packed into one array = one host fetch per step
+        packed = jnp.concatenate([toks, c[:, None]], axis=1)
         return SlotState(
             cache=cache, tok=new_pending, prompt_len=state.prompt_len,
             n_gen=n_gen, active=state.active, done=state.done | newly_done,
             hist=hist,
-        ), toks, c
+        ), packed
 
     return init_state, prefill_fn, decode_fn
 
@@ -310,6 +313,14 @@ class Engine:
         self._results: Dict[int, List[int]] = {}
         self._next_rid = 0
 
+    def _next_rng(self):
+        """Per-step PRNG key; greedy engines skip the device-side split
+        (one fewer relay round trip per dispatch — the key is unused)."""
+        if not self.gen.do_sample:
+            return self._rng
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
     # -- submission ---------------------------------------------------------
 
     def submit_embeds(self, embeds, prompt_len: int, prompt_ids=None) -> int:
@@ -330,23 +341,38 @@ class Engine:
         padded = np.full((1, self.prompt_buf), self.gen.pad_token_id,
                          np.int32)
         padded[0, :prompt_len] = ids[0]
-        embeds = self.model.apply(
-            self.params, jnp.asarray(padded), images, question_ids,
-            method="prepare_inputs_embeds")
+        if images is None and not hasattr(type(self.model),
+                                          "prepare_inputs_embeds"):
+            # bare text decoder (e.g. a GREEN judge served on the slot pool)
+            embeds = self.model.apply(self.params, jnp.asarray(padded),
+                                      method="embed_tokens")
+        else:
+            embeds = self.model.apply(
+                self.params, jnp.asarray(padded), images, question_ids,
+                method="prepare_inputs_embeds")
         return self.submit_embeds(embeds, prompt_len, jnp.asarray(padded))
 
     # -- scheduling ---------------------------------------------------------
+    #
+    # done/active are mirrored host-side (a request finishes exactly when
+    # an appended token is EOS or it reaches max_new_tokens — both host-
+    # visible events), so the scheduler never fetches device state: the
+    # only per-step device->host transfer is the emitted-token array.
+    # On the axon relay each fetch costs a full round trip, and this
+    # halves-to-thirds the per-dispatch cost (BENCHMARKS.md).
 
     def _free_slots(self) -> List[int]:
-        active = np.asarray(self.state.active)
-        return [i for i in range(self.num_slots)
-                if not active[i] and i not in self._by_slot]
+        return [i for i in range(self.num_slots) if i not in self._by_slot]
+
+    def _append(self, req: _Request, tok: int) -> None:
+        req.tokens.append(tok)
+        if tok == self.gen.eos_token_id or \
+                len(req.tokens) >= self.gen.max_new_tokens:
+            req.finished = True
 
     def _collect_finished(self):
-        done = np.asarray(self.state.done)
         for slot, req in list(self._by_slot.items()):
-            if done[slot]:
-                req.finished = True
+            if req.finished:
                 self._results[req.rid] = req.tokens
                 self.state = dataclasses.replace(
                     self.state,
@@ -361,7 +387,7 @@ class Engine:
         if self._queue and free:
             slot = free[0]
             req = self._queue.popleft()
-            self._rng, sub = jax.random.split(self._rng)
+            sub = self._next_rng()
             if self.speculative:
                 ids = req.prompt_ids
                 if ids is None:  # no drafting seed: sentinel row
@@ -374,20 +400,24 @@ class Engine:
                     self.params, self.state, req.embeds,
                     jnp.int32(req.prompt_len), jnp.int32(slot), sub)
             req.slot = slot
-            req.tokens.append(int(tok0))
+            self._append(req, int(tok0))
             self._by_slot[slot] = req
             self._collect_finished()
             return True
         if self._by_slot:
-            self._rng, sub = jax.random.split(self._rng)
+            sub = self._next_rng()
             if self.speculative:
-                self.state, toks, counts = self._decode(
+                # one fetch: (S, K) tokens packed with the (S,) counts
+                self.state, packed = self._decode(
                     self.params, self.state, sub)
-                toks, counts = np.asarray(toks), np.asarray(counts)
+                packed = np.asarray(packed)
+                toks, counts = packed[:, :-1], packed[:, -1]
                 for slot, req in self._by_slot.items():
                     room = self.gen.max_new_tokens - len(req.tokens)
                     for t in toks[slot][: min(int(counts[slot]), room)]:
-                        req.tokens.append(int(t))
+                        if req.finished:
+                            break
+                        self._append(req, int(t))
             else:
                 self.state, toks = self._decode(self.params, self.state, sub)
                 toks = np.asarray(toks)
@@ -395,8 +425,7 @@ class Engine:
                 # (finished rows are collected first), so all emitted
                 # tokens are real
                 for slot, req in self._by_slot.items():
-                    if len(req.tokens) < self.gen.max_new_tokens:
-                        req.tokens.append(int(toks[slot]))
+                    self._append(req, int(toks[slot]))
             self._collect_finished()
             return True
         return bool(self._queue)
@@ -435,8 +464,14 @@ class EngineInference:
             max_new_tokens=max_new_tokens, do_sample=do_sample, top_p=top_p,
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id or 0)
-        if speculative is None:  # greedy serving defaults to speculative
-            speculative = not do_sample
+        if speculative is None:
+            # Opt-in: a verify block costs ~2x a plain dispatch at small
+            # slot counts and pays off only when acceptance > ~2 — true for
+            # template-heavy reports, not guaranteed for arbitrary chat
+            # (measured: acceptance 1.1 on random prompts vs 4.0 on
+            # repetitive content — BENCHMARKS.md). Tokens are identical
+            # either way; flip on for report-serving workloads.
+            speculative = False
         self.engine = Engine(model, params, self.gen_cfg,
                              num_slots=num_slots, prompt_buf=prompt_buf,
                              cache_dtype=cache_dtype,

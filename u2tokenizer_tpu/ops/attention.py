@@ -117,17 +117,18 @@ def relative_position_bias(table: jax.Array, seq_len: int, max_seq_len: int) -> 
     return jnp.transpose(bias, (2, 0, 1))[None]
 
 
-def quantize_kv(x: jax.Array, eps: float = 1e-6):
-    """Per-(position, head) symmetric int8 quantization of K/V rows.
+def quantize_kv(x: jax.Array, eps: float = 1e-6, dtype=jnp.int8):
+    """Per-(position, head) symmetric int8/int4 quantization of K/V rows.
 
-    x: (B, S, H, D) -> (int8 values, (B, S, H, 1) scales). The scale factors
-    out of the attention algebra exactly: scores use k_int * k_scale and the
-    value reduction uses (probs * v_scale) @ v_int, so the cache is read from
-    HBM at one byte per element.
+    x: (B, S, H, D) -> (quantized values, (B, S, H, 1) scales). The scale
+    factors out of the attention algebra exactly: scores use k_int * k_scale
+    and the value reduction uses (probs * v_scale) @ v_int, so the cache is
+    read from HBM at one byte (int8) / half a byte (int4) per element.
     """
-    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    levels = 7.0 if dtype == jnp.int4 else 127.0
+    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / levels
     scale = jnp.maximum(scale, eps)
-    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(x / scale), -levels, levels).astype(dtype)
     return q, scale.astype(jnp.bfloat16)
 
 
