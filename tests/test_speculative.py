@@ -117,12 +117,89 @@ def test_spec_block_len_invariance(tiny_lm):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
-def test_spec_rejects_sampling():
+def test_spec_sampling_near_zero_temperature_matches_greedy(tiny_lm):
+    """Rejection sampling at temperature->0 degenerates to greedy, so the
+    speculative sampler must reproduce the plain greedy tokens exactly."""
+    cfg, model, params, ids, prompt_len = tiny_lm
+    emb = _embeds(model, params, ids, prompt_len)
+    rng = jax.random.PRNGKey(3)
+    greedy_cfg = GenerationConfig(max_new_tokens=10, do_sample=False,
+                                  eos_token_id=-2, pad_token_id=0)
+    plain = np.asarray(make_generate_fn(model, greedy_cfg, jnp.float32)(
+        params, emb, prompt_len, rng))
+    samp_cfg = GenerationConfig(max_new_tokens=10, do_sample=True,
+                                temperature=1e-4, top_p=1.0,
+                                eos_token_id=-2, pad_token_id=0)
+    spec = np.asarray(make_spec_generate_fn(model, samp_cfg, jnp.float32,
+                                            block_len=4)(
+        params, emb, ids, prompt_len, rng))
+    np.testing.assert_array_equal(spec, plain)
+
+
+@pytest.fixture(scope="module")
+def micro_vocab_lm():
+    """12-token vocab model: small enough support to compare empirical
+    sampling distributions."""
+    cfg = LLMConfig.tiny(vocab_size=12)
+    model = CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    s = 8
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, s), 0,
+                             cfg.vocab_size).astype(jnp.int32)
+    emb_init = jnp.zeros((1, s, cfg.hidden_size), jnp.float32)
+    params = model.init(rng, emb_init, jnp.zeros((1, s), jnp.int32),
+                        jnp.ones((1, 1, s, s), bool))
+    return cfg, model, params, ids, jnp.array([s], jnp.int32)
+
+
+def test_spec_sampling_distribution_matches_plain(micro_vocab_lm):
+    """Speculative sampling must emit the same distribution as plain
+    sampling (trajectories differ — randomness is consumed differently —
+    but per-position marginals over many seeds must agree)."""
+    cfg, model, params, ids, prompt_len = micro_vocab_lm
     gen = GenerationConfig(max_new_tokens=4, do_sample=True,
+                           temperature=1.3, top_p=0.8,
                            eos_token_id=-2, pad_token_id=0)
-    model = CausalLM(LLMConfig.tiny(), dtype=jnp.float32)
-    with pytest.raises(ValueError):
-        make_spec_generate_fn(model, gen)
+    emb = _embeds(model, params, ids, prompt_len)
+    plain_fn = jax.jit(make_generate_fn(model, gen, jnp.float32))
+    spec_fn = jax.jit(make_spec_generate_fn(model, gen, jnp.float32,
+                                            block_len=3))
+    n = 400
+    plain_counts = np.zeros((4, cfg.vocab_size))
+    spec_counts = np.zeros((4, cfg.vocab_size))
+    for i in range(n):
+        key = jax.random.PRNGKey(100 + i)
+        p = np.asarray(plain_fn(params, emb, prompt_len, key))[0]
+        q = np.asarray(spec_fn(params, emb, ids, prompt_len, key))[0]
+        for pos in range(4):
+            plain_counts[pos, p[pos]] += 1
+            spec_counts[pos, q[pos]] += 1
+    for pos in range(4):
+        tv = 0.5 * np.abs(plain_counts[pos] / n
+                          - spec_counts[pos] / n).sum()
+        assert tv < 0.3, (pos, tv, plain_counts[pos], spec_counts[pos])
+
+
+def test_spec_sampling_pad_after_eos(tiny_lm):
+    """In sampling mode an emitted EOS must stop the row: pads after."""
+    cfg, model, params, ids, prompt_len = tiny_lm
+    emb = _embeds(model, params, ids, prompt_len)
+    # probe a token the sampler actually emits, then make it the EOS
+    gen0 = GenerationConfig(max_new_tokens=8, do_sample=True, top_p=0.9,
+                            eos_token_id=-2, pad_token_id=-3)
+    toks = np.asarray(make_spec_generate_fn(model, gen0, jnp.float32,
+                                            block_len=4)(
+        params, emb, ids, prompt_len, jax.random.PRNGKey(5)))
+    eos = int(toks[0, 2])
+    gen = GenerationConfig(max_new_tokens=8, do_sample=True, top_p=0.9,
+                           eos_token_id=eos, pad_token_id=-3)
+    toks = np.asarray(make_spec_generate_fn(model, gen, jnp.float32,
+                                            block_len=4)(
+        params, emb, ids, prompt_len, jax.random.PRNGKey(5)))
+    for row in toks:
+        hits = np.where(row == eos)[0]
+        if hits.size:
+            assert (row[hits[0] + 1:] == -3).all(), row
 
 
 def test_spec_multimodal_matches_plain():

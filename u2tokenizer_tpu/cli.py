@@ -272,7 +272,14 @@ def cmd_generate(args):
         max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
         top_p=args.top_p, eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id or 0)
-    gen_fn = make_multimodal_generate_fn(model, gen)
+    if getattr(args, "speculative", False):
+        # n-gram-drafted decode: greedy-exact / distribution-preserving,
+        # faster on template-heavy report sampling (models/speculative.py)
+        from .models.speculative import make_spec_multimodal_generate_fn
+
+        gen_fn = make_spec_multimodal_generate_fn(model, gen)
+    else:
+        gen_fn = make_multimodal_generate_fn(model, gen)
 
     params = _init_or_load(args, model, cfg, ds)
 
@@ -567,10 +574,11 @@ def cmd_serve(args):
     from .serve import serve
 
     cfg = _load_model_config(args) if (args.tiny or args.config) else None
+    spec = getattr(args, "speculative", False)
     model = U2InferenceModel(
         args.checkpoint, tokenizer=_load_tokenizer(args.tokenizer),
         model_config=cfg, max_new_tokens=args.max_new_tokens,
-        do_sample=args.do_sample, top_p=args.top_p)
+        do_sample=args.do_sample, top_p=args.top_p, speculative=spec)
     if getattr(args, "slots", 0) > 1:
         # continuous batching: concurrent requests share a slot pool
         from .models.slot_serving import EngineInference
@@ -579,7 +587,8 @@ def cmd_serve(args):
             model.model, model.params, model.tokenizer, model.cfg,
             max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
             top_p=args.top_p, num_slots=args.slots,
-            prompt_buf=args.max_length)
+            prompt_buf=args.max_length,
+            speculative=spec if spec else None)
         print(f"continuous batching: {args.slots} slots", file=sys.stderr)
     print(f"serving on {args.host}:{args.port}", file=sys.stderr)
     serve(model, host=args.host, port=args.port)
@@ -777,6 +786,9 @@ def build_parser():
     g.add_argument("--do-sample", action="store_true")
     g.add_argument("--top-p", type=float, default=0.9)
     g.add_argument("--num-samples", type=int, default=8)
+    g.add_argument("--speculative", action="store_true",
+                   help="n-gram-drafted speculative decode (greedy-exact / "
+                        "distribution-preserving)")
     g.add_argument("--start", type=int, default=0)
     g.add_argument("--end", type=int, default=10**9)
     g.add_argument("--seed", type=int, default=0)
@@ -841,6 +853,9 @@ def build_parser():
     sv.add_argument("--max-new-tokens", type=int, default=768)
     sv.add_argument("--do-sample", action="store_true")
     sv.add_argument("--top-p", type=float, default=0.9)
+    sv.add_argument("--speculative", action="store_true",
+                    help="n-gram-drafted decode (greedy: opt-in on the "
+                         "slot engine; exact tokens either way)")
     sv.set_defaults(fn=cmd_serve)
 
     sl = sub.add_parser("serve-llm")

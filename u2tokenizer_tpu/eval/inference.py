@@ -37,12 +37,13 @@ class U2InferenceModel:
                  model_config=None, dtype=None, max_length: int = 1024,
                  max_new_tokens: int = 768, do_sample: bool = True,
                  top_p: float = 0.9, lora_path: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, speculative: bool = False):
         import jax
         import jax.numpy as jnp
 
         from ..config import GenerationConfig, U2ModelConfig
         from ..models.generate import make_multimodal_generate_fn
+        from ..models.speculative import make_spec_multimodal_generate_fn
         from ..models.hf_weights import (convert_u2_checkpoint,
                                          load_safetensors_dir, load_torch_bin,
                                          llm_config_from_hf)
@@ -86,7 +87,15 @@ class U2InferenceModel:
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id or 0)
         self.gen_cfg = gen
-        self._gen_fn = make_multimodal_generate_fn(self.model, gen)
+        # ``speculative``: n-gram-drafted decode — identical tokens when
+        # greedy, identical distribution when sampling; speeds up template-
+        # heavy report generation (e.g. the 8-samples/case pred_then_green
+        # loop). Opt-in: acceptance is content-dependent.
+        self._speculative = speculative
+        if speculative:
+            self._gen_fn = make_spec_multimodal_generate_fn(self.model, gen)
+        else:
+            self._gen_fn = make_multimodal_generate_fn(self.model, gen)
         self._rng = jax.random.PRNGKey(seed)
 
     def _merge_lora(self, lora_path: str):

@@ -472,6 +472,8 @@ class EngineInference:
             # repetitive content — BENCHMARKS.md). Tokens are identical
             # either way; flip on for report-serving workloads.
             speculative = False
+        if speculative and do_sample:
+            speculative = False  # the slot verify block is greedy-only
         self.engine = Engine(model, params, self.gen_cfg,
                              num_slots=num_slots, prompt_buf=prompt_buf,
                              cache_dtype=cache_dtype,

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GenerationConfig
+from ..ops.sampling import sample, top_p_filter
 from .llm.decoder import KVCache
 from .u2_model import causal_padding_mask
 
@@ -75,16 +76,20 @@ def make_spec_generate_fn(
 
     ``return_stats=True``: returns (tokens, n_verify_steps); mean accepted
     tokens per verify step = total_emitted / n_verify_steps.
+
+    Sampling (``gen.do_sample=True``) uses point-mass-draft rejection
+    sampling: draft d at a position with warped target distribution p is
+    accepted with probability p(d); on rejection the token is drawn from p
+    renormalized without d — which makes every emitted token an exact draw
+    from p (Leviathan et al. speculative sampling with a deterministic
+    draft). The OUTPUT DISTRIBUTION equals plain sampling; individual
+    trajectories differ because randomness is consumed differently.
     """
-    if gen.do_sample:
-        raise ValueError("speculative decoding supports greedy only "
-                         "(do_sample=False); use make_generate_fn")
     llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
     kb = block_len
     max_new = gen.max_new_tokens
 
     def generate(params, inputs_embeds, prompt_ids, prompt_len, rng):
-        del rng  # greedy
         b, s, _ = inputs_embeds.shape
         # +kb slack: a verify block starting at the last live slot may write
         # up to kb-1 tokens past it (masked, later overwritten — never read).
@@ -102,9 +107,10 @@ def make_spec_generate_fn(
             lens=prompt_len, compute_logits=False, method="forward_embeds")
         last_hidden = jnp.take_along_axis(
             hidden, (prompt_len - 1)[:, None, None], axis=1)
-        tok0 = jnp.argmax(
-            model.apply(params, last_hidden, method="lm_logits")[:, 0],
-            axis=-1).astype(jnp.int32)
+        last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
+        rng, sub = jax.random.split(rng)
+        tok0 = sample(sub, last, do_sample=gen.do_sample,
+                      temperature=gen.temperature, top_p=gen.top_p)
 
         # token history for drafting: prompt at [0, prompt_len), -1 gap,
         # generated token j at s + j
@@ -125,6 +131,7 @@ def make_spec_generate_fn(
             n_emit=jnp.ones((b,), jnp.int32),
             done=(tok0 == gen.eos_token_id),
             n_steps=jnp.int32(0),
+            rng=rng,
         )
 
         def cond(st):
@@ -156,12 +163,60 @@ def make_spec_generate_fn(
             logits, _, cache = model.apply(
                 params, emb, pos, key_ok[:, None], st["cache"],
                 s + n_w, method="decode_step")
-            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, kb)
+            rng = st["rng"]
+            if not gen.do_sample:
+                g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, kb)
+                # -- longest accepted prefix: f[j] must equal g[j-1] --
+                match = f[:, 1:] == g[:, :-1]                  # (B, kb-1)
+                chain = jnp.cumprod(match.astype(jnp.int32), axis=1)
+                c = 1 + jnp.sum(chain, axis=1)                 # (B,) in [1,kb]
+            else:
+                # -- rejection sampling against the warped target dists --
+                # position j's logits govern emitted index n_w + 1 + j;
+                # draft d_{j+1} = f[:, j+1] is accepted with prob p_j(d).
+                # Positions are processed one at a time via lax.map: the
+                # top-p sort/softmax temps are (B, V) fp32 and warping all
+                # kb positions at once transiently holds kb of each — at
+                # B64/V152k that spike hard-crashed the TPU worker.
+                rng, k_u, k_res = jax.random.split(rng, 3)
+                # drafts aligned per position; the last position has none
+                # (sentinel -1): after kb-1 accepts the fresh token comes
+                # from the full warped distribution there.
+                d_per_pos = jnp.concatenate(
+                    [f[:, 1:], jnp.full((b, 1), -1, jnp.int32)], axis=1)
+                pos_keys = jax.random.split(k_res, kb)
 
-            # -- longest accepted prefix: f[j] must equal g[j-1] --
-            match = f[:, 1:] == g[:, :-1]                      # (B, kb-1)
-            chain = jnp.cumprod(match.astype(jnp.int32), axis=1)
-            c = 1 + jnp.sum(chain, axis=1)                     # (B,) in [1,kb]
+                def per_pos(args):
+                    j, key_j = args               # position index, key
+                    # slice (no transposed 300 MB logits copy at B64/V152k)
+                    w_j = jax.lax.dynamic_index_in_dim(
+                        logits, j, axis=1, keepdims=False).astype(jnp.float32)
+                    d_j = jax.lax.dynamic_index_in_dim(
+                        d_per_pos, j, axis=1, keepdims=False)
+                    if gen.temperature != 1.0:
+                        w_j = w_j / gen.temperature
+                    if gen.top_p < 1.0:
+                        w_j = top_p_filter(w_j, gen.top_p)
+                    p_j = jax.nn.softmax(w_j, axis=-1)
+                    p_d = jnp.take_along_axis(
+                        p_j, jnp.clip(d_j, 0)[:, None], axis=-1)[:, 0]
+                    # residual of the point-mass draft: p with d removed
+                    masked = w_j.at[rows, jnp.clip(d_j, 0)].set(-jnp.inf)
+                    w_res = jnp.where((d_j >= 0)[:, None], masked, w_j)
+                    fresh_j = jax.random.categorical(
+                        key_j, w_res, axis=-1).astype(jnp.int32)
+                    return p_d, fresh_j
+
+                p_draft_t, fresh_t = jax.lax.map(
+                    per_pos, (jnp.arange(kb), pos_keys))
+                p_draft = p_draft_t.T[:, :-1]                  # (B, kb-1)
+                fresh = fresh_t.T                              # (B, kb)
+                u = jax.random.uniform(k_u, p_draft.shape)
+                chain = jnp.cumprod((u < p_draft).astype(jnp.int32), axis=1)
+                n_acc = jnp.sum(chain, axis=1)                 # 0..kb-1
+                c = n_acc + 1
+                d_shift = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
+                g = jnp.where(koff[None, :] < n_acc[:, None], d_shift, fresh)
             # EOS inside the block truncates it (the EOS itself is emitted)
             emitted_eos = (g == gen.eos_token_id) & (koff[None, :] < c[:, None])
             hit = jnp.any(emitted_eos, axis=1)
@@ -190,7 +245,7 @@ def make_spec_generate_fn(
                 pending)
             return dict(cache=cache, hist=hist, out=out, pending=new_pending,
                         n_emit=n_emit + c, done=done | hit,
-                        n_steps=st["n_steps"] + 1)
+                        n_steps=st["n_steps"] + 1, rng=rng)
 
         state = jax.lax.while_loop(cond, body, state)
         if return_stats:

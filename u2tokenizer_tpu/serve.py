@@ -108,7 +108,7 @@ class TextLMServer:
     def __init__(self, model, params, tokenizer, max_new_tokens: int = 512,
                  do_sample: bool = False, top_p: float = 0.9,
                  temperature: float = 1.0, max_length: int = 2048,
-                 name: str = "u2-llm"):
+                 name: str = "u2-llm", speculative: Optional[bool] = None):
         import jax
 
         from .config import GenerationConfig
@@ -126,9 +126,12 @@ class TextLMServer:
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id or 0)
         self._jax = jax
-        # greedy serving rides speculative decoding (bit-identical output;
-        # n-gram self-drafting pays off on template-heavy completions)
-        self._speculative = not do_sample
+        # greedy serving rides speculative decoding by default (bit-
+        # identical output; n-gram self-drafting pays off on template-heavy
+        # completions). Pass speculative=True with do_sample for the
+        # distribution-preserving rejection-sampling variant.
+        self._speculative = (not do_sample) if speculative is None \
+            else speculative
         if self._speculative:
             from .models.speculative import make_spec_generate_fn
 
