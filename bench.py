@@ -45,6 +45,7 @@ WQ = __import__("os").environ.get("BENCH_WQ", "int8")  # int8|int4|bf16|fp32
 # depends on n-gram acceptance (content-dependent; see BENCHMARKS.md).
 SPEC = __import__("os").environ.get("BENCH_SPEC", "1") == "1"
 VMB = int(__import__("os").environ.get("BENCH_VMB", "128"))  # vision microbatch
+PFC = int(__import__("os").environ.get("BENCH_PREFILL_CHUNK", "0")) or None
 PROMPT_LEN = 1024
 MAX_NEW_TOKENS = 768
 
@@ -135,7 +136,7 @@ def main():
     else:
         base = make_multimodal_generate_fn(
             model, gen, cache_dtype=cache_dtype, jit=False,
-            vision_microbatch=VMB)
+            vision_microbatch=VMB, prefill_chunk=PFC)
     if WQ == "int4":
         # The int4 tree is materialized ON DEVICE inside the generate jit
         # (ones for float scales/norms, zeros for quantized kernels):

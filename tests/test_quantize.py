@@ -250,3 +250,36 @@ def test_int4_kv_cache_generate(tiny_lm):
         params, emb, prompt_len, jax.random.PRNGKey(3)))
     np.testing.assert_array_equal(exact[:, 0], q4[:, 0])
     assert q4.shape == (2, 6) and (q4 >= 0).all()
+
+
+def test_chunked_prefill_matches_one_shot(tiny_lm):
+    """prefill_chunk: identical tokens to the one-shot prefill on a float
+    cache (exact path), including short (right-padded) rows."""
+    from u2tokenizer_tpu.models.generate import make_generate_fn as mgf
+
+    cfg, model, params, ids = tiny_lm
+    gen = GenerationConfig(max_new_tokens=6, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    prompt_len = jnp.array([16, 12], jnp.int32)
+    att = jnp.arange(16)[None, :] < prompt_len[:, None]
+    emb = model.apply(params, ids * att, method="embed_tokens")
+    one = np.asarray(mgf(model, gen, jnp.float32)(
+        params, emb, prompt_len, jax.random.PRNGKey(3)))
+    for cs in (4, 8):
+        chunked = np.asarray(mgf(model, gen, jnp.float32, prefill_chunk=cs)(
+            params, emb, prompt_len, jax.random.PRNGKey(3)))
+        np.testing.assert_array_equal(chunked, one)
+
+
+def test_chunked_prefill_int8_cache_runs(tiny_lm):
+    from u2tokenizer_tpu.models.generate import make_generate_fn as mgf
+
+    cfg, model, params, ids = tiny_lm
+    gen = GenerationConfig(max_new_tokens=5, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    prompt_len = jnp.array([16, 12], jnp.int32)
+    att = jnp.arange(16)[None, :] < prompt_len[:, None]
+    emb = model.apply(params, ids * att, method="embed_tokens")
+    toks = np.asarray(mgf(model, gen, "int8", prefill_chunk=8)(
+        params, emb, prompt_len, jax.random.PRNGKey(3)))
+    assert toks.shape == (2, 5) and (toks >= 0).all()

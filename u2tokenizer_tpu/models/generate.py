@@ -30,6 +30,7 @@ def make_generate_fn(
     model,
     gen: GenerationConfig,
     cache_dtype=jnp.bfloat16,
+    prefill_chunk: Optional[int] = None,
 ) -> Callable:
     """Build a jittable generate(params, inputs_embeds, prompt_len, rng).
 
@@ -40,6 +41,17 @@ def make_generate_fn(
       inputs_embeds: (B, S, E) right-padded prompt embeddings.
       prompt_len: (B,) int32 true prompt lengths (<= S).
       rng: PRNG key (unused when not sampling, but required positionally).
+      prefill_chunk: when set (and it divides S), the prefill runs as a
+        lax.scan of S/chunk forwards writing into the cache — bounding the
+        prefill activation peak (qkv/mlp temps scale with the chunk, not
+        S; the 8B batch-32+ OOM lever). Each chunk attends earlier chunks
+        from the cache, so with a quantized cache the prefill reads
+        quantized history (one-shot prefill attends exact fresh k/v) —
+        bit-identical for float caches, quantization-level differences
+        otherwise. Causal masking alone is exact here because prompts are
+        right-padded: a real query position is always below every pad
+        position, and pad KV rows are excluded by the decode-time mask
+        exactly as in the one-shot path.
 
     Returns:
       (B, max_new_tokens) int32 generated ids, pad-filled after EOS.
@@ -52,14 +64,42 @@ def make_generate_fn(
         cache = KVCache.create(llm_cfg, b, total, cache_dtype)
 
         # --- prefill ---
-        att = (jnp.arange(s)[None, :] < prompt_len[:, None]).astype(jnp.int32)
-        mask = causal_padding_mask(att)
-        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-        _, hidden, cache = model.apply(
-            params, inputs_embeds, attention_mask=None, cache=cache,
-            write_index=jnp.int32(0), positions=positions, mask=mask,
-            lens=prompt_len.astype(jnp.int32), compute_logits=False,
-            method="forward_embeds")
+        if prefill_chunk and prefill_chunk < s and s % prefill_chunk == 0:
+            cs = prefill_chunk
+            kvp = jnp.arange(total, dtype=jnp.int32)
+            chunks = jnp.swapaxes(
+                inputs_embeds.reshape(b, s // cs, cs, -1), 0, 1)
+
+            def pre(cache, inp):
+                ci, emb_c = inp
+                base = ci * cs
+                pos = jnp.broadcast_to(
+                    base + jnp.arange(cs, dtype=jnp.int32), (b, cs))
+                mask = (kvp[None, :]
+                        <= (base + jnp.arange(cs))[:, None])[None, None]
+                # per-row write_index routes Attention through the
+                # attend-the-cache multi-token path (same as verify blocks)
+                widx = jnp.full((b,), base, jnp.int32)
+                _, hidden_c, cache = model.apply(
+                    params, emb_c, attention_mask=None, cache=cache,
+                    write_index=widx, positions=pos, mask=mask,
+                    compute_logits=False, method="forward_embeds")
+                return cache, hidden_c
+
+            cache, hiddens = jax.lax.scan(
+                pre, cache, (jnp.arange(s // cs), chunks))
+            hidden = jnp.swapaxes(hiddens, 0, 1).reshape(b, s, -1)
+        else:
+            att = (jnp.arange(s)[None, :]
+                   < prompt_len[:, None]).astype(jnp.int32)
+            mask = causal_padding_mask(att)
+            positions = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32), (b, s))
+            _, hidden, cache = model.apply(
+                params, inputs_embeds, attention_mask=None, cache=cache,
+                write_index=jnp.int32(0), positions=positions, mask=mask,
+                lens=prompt_len.astype(jnp.int32), compute_logits=False,
+                method="forward_embeds")
         last_hidden = jnp.take_along_axis(
             hidden, (prompt_len - 1)[:, None, None], axis=1)  # (B, 1, E)
         last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
@@ -203,6 +243,7 @@ def make_multimodal_generate_fn(
     cache_dtype=jnp.bfloat16,
     jit: bool = True,
     vision_microbatch: int = 128,
+    prefill_chunk: Optional[int] = None,
 ) -> Callable:
     """generate(params, input_ids, images, question_ids, prompt_len, rng):
     vision encode + splice + prefill + decode, end-to-end jitted.
@@ -210,9 +251,10 @@ def make_multimodal_generate_fn(
     ``images`` may be None for text-only generation (matches the
     vision_input=None branch of the reference generate, u2qwen3.py:125-126).
     ``vision_microbatch`` bounds the ViT's transient memory at large serving
-    batches (see _microbatched_embeds).
+    batches (see _microbatched_embeds); ``prefill_chunk`` bounds the
+    prefill activation peak (see make_generate_fn).
     """
-    gen_fn = make_generate_fn(model, gen, cache_dtype)
+    gen_fn = make_generate_fn(model, gen, cache_dtype, prefill_chunk)
 
     def generate(params, input_ids, images, question_ids, prompt_len, rng):
         embeds = _microbatched_embeds(model, params, input_ids, images,
