@@ -229,3 +229,23 @@ def test_spec_multimodal_matches_plain():
         model, gen, jnp.float32, block_len=4, jit=False)(
         params, ids, images, qids, prompt_len, jax.random.PRNGKey(3)))
     np.testing.assert_array_equal(spec, plain)
+
+
+def test_ngram_draft_trigram_disambiguates():
+    # (5, 6) appears twice with different continuations; the trigram
+    # context (9, 5, 6) must select the second occurrence's continuation
+    hist = jnp.array([[1, 5, 6, 7, 2, 9, 5, 6, 8, 3, 9, 5, 6, -1, -1]],
+                     jnp.int32)
+    idx_last = jnp.array([12], jnp.int32)
+    # bigram alone: most recent (5,6) before idx_last is at 6..7 -> 8
+    d2 = ngram_draft(hist, idx_last, jnp.array([5]), jnp.array([6]), 2)
+    np.testing.assert_array_equal(np.asarray(d2), [[8, 3]])
+    # trigram (9,5,6): matches at 5..7 -> continuation 8, 3 too — make the
+    # earlier occurrence differ: context (1,5,6) -> 7, 2
+    d3 = ngram_draft(hist, idx_last, jnp.array([5]), jnp.array([6]), 2,
+                     c00=jnp.array([1]))
+    np.testing.assert_array_equal(np.asarray(d3), [[7, 2]])
+    # no trigram match -> falls back to the bigram continuation
+    d3f = ngram_draft(hist, idx_last, jnp.array([5]), jnp.array([6]), 2,
+                      c00=jnp.array([4]))
+    np.testing.assert_array_equal(np.asarray(d3f), [[8, 3]])

@@ -222,7 +222,14 @@ def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
             jnp.take_along_axis(
                 state.hist, jnp.clip(state.prompt_len - 1, 0)[:, None],
                 axis=1)[:, 0])
-        drafts = ngram_draft(state.hist, idx_last, prev, pending, kb - 1)
+        prev2_idx = jnp.where(
+            n_w >= 2, idx_last - 2,
+            jnp.where(n_w == 1, state.prompt_len - 1,
+                      state.prompt_len - 2))
+        prev2 = jnp.take_along_axis(
+            state.hist, jnp.clip(prev2_idx, 0)[:, None], axis=1)[:, 0]
+        drafts = ngram_draft(state.hist, idx_last, prev, pending, kb - 1,
+                             c00=prev2)
 
         f = jnp.concatenate([pending[:, None], drafts], axis=1)
         emb = model.apply(params, f, method="embed_tokens")

@@ -25,7 +25,7 @@ masked scatters (mode="drop" turns non-emitted lanes into no-op writes).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,13 +37,18 @@ from .u2_model import causal_padding_mask
 
 
 def ngram_draft(hist: jax.Array, idx_last: jax.Array, c0: jax.Array,
-                c1: jax.Array, n_drafts: int) -> jax.Array:
-    """Propose ``n_drafts`` continuation tokens by bigram history match.
+                c1: jax.Array, n_drafts: int,
+                c00: Optional[jax.Array] = None) -> jax.Array:
+    """Propose ``n_drafts`` continuation tokens by n-gram history match.
 
     hist: (B, L) token history; unwritten/gap positions hold -1.
     idx_last: (B,) history index of the newest token (the bigram (c0, c1)
       ends here; matches at or after it are excluded).
     c0, c1: (B,) the two newest tokens (c1 = pending last token).
+    c00: optional (B,) third-newest token — when given, the most recent
+      TRIGRAM (c00, c0, c1) match is preferred over the most recent bigram
+      match (higher-precision continuations on real text; drafts only
+      affect speed, never output).
 
     Returns (B, n_drafts) int32 drafts; rows with no match (or matches
     running into unwritten history) fall back to repeating c1 — a draft is
@@ -51,9 +56,14 @@ def ngram_draft(hist: jax.Array, idx_last: jax.Array, c0: jax.Array,
     """
     b, l = hist.shape
     pos = jnp.arange(l - 1)
-    m = (hist[:, :-1] == c0[:, None]) & (hist[:, 1:] == c1[:, None])
-    m = m & (pos[None, :] + 1 < idx_last[:, None])
-    j = jnp.max(jnp.where(m, pos[None, :], -1), axis=1)  # most recent match
+    m2 = (hist[:, :-1] == c0[:, None]) & (hist[:, 1:] == c1[:, None])
+    m2 = m2 & (pos[None, :] + 1 < idx_last[:, None])
+    j = jnp.max(jnp.where(m2, pos[None, :], -1), axis=1)  # most recent
+    if c00 is not None:
+        # trigram match ending at p+1: hist[p-1]==c00 for bigram index p>=1
+        m3 = m2[:, 1:] & (hist[:, :-2] == c00[:, None]) & (c00[:, None] >= 0)
+        j3 = jnp.max(jnp.where(m3, pos[None, 1:], -1), axis=1)
+        j = jnp.where(j3 >= 0, j3, j)
     idxs = jnp.clip(j[:, None] + 2 + jnp.arange(n_drafts)[None, :], 0, l - 1)
     d = jnp.take_along_axis(hist, idxs, axis=1)
     bad = (j[:, None] < 0) | (d < 0)
@@ -141,7 +151,7 @@ def make_spec_generate_fn(
             n_emit, done, pending = st["n_emit"], st["done"], st["pending"]
             n_w = n_emit - 1  # generated tokens whose KV is cached
 
-            # -- draft: bigram (prev, pending) history match --
+            # -- draft: trigram-first (prev2, prev, pending) history match --
             idx_last = s + n_emit - 1
             prev = jnp.where(
                 n_emit >= 2,
@@ -150,7 +160,13 @@ def make_spec_generate_fn(
                     axis=1)[:, 0],
                 jnp.take_along_axis(
                     st["hist"], (prompt_len - 1)[:, None], axis=1)[:, 0])
-            drafts = ngram_draft(st["hist"], idx_last, prev, pending, kb - 1)
+            prev2_idx = jnp.where(
+                n_emit >= 3, idx_last - 2,
+                jnp.where(n_emit == 2, prompt_len - 1, prompt_len - 2))
+            prev2 = jnp.take_along_axis(
+                st["hist"], jnp.clip(prev2_idx, 0)[:, None], axis=1)[:, 0]
+            drafts = ngram_draft(st["hist"], idx_last, prev, pending, kb - 1,
+                                 c00=prev2)
 
             # -- one verify forward over [pending, d_1..d_{kb-1}] --
             f = jnp.concatenate([pending[:, None], drafts], axis=1)  # (B, kb)
