@@ -182,3 +182,45 @@ def test_dataloader_shards_and_batches(jsonl_dataset):
     dl1 = DataLoader(ds, batch_size=1, shuffle=False, process_index=1,
                      process_count=2, num_workers=1)
     assert len(list(dl0)) == 1 and len(list(dl1)) == 1
+
+
+class _IndexDataset:
+    """Tiny map-style dataset; item = its own index (no IO)."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return i
+
+
+def test_dataloader_many_batches_no_deadlock():
+    """Regression: the threaded loader must stream len(batches) >> num_workers.
+
+    A previous implementation submitted whole-batch tasks that ran pool.map
+    on the same executor; with > num_workers batches in flight every worker
+    held a batch task and the per-item tasks never ran (hang). 64 batches at
+    num_workers=4 is far past the old trigger threshold. Run consumption on
+    a daemon thread with a hard 60 s deadline so a regression fails fast
+    instead of hanging the suite."""
+    import threading
+
+    ds = _IndexDataset(256)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=4,
+                    collate_fn=lambda items: list(items))
+    out = {}
+
+    def consume():
+        out["batches"] = list(dl)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(60)
+    assert not t.is_alive(), "DataLoader deadlocked (no progress in 60 s)"
+    batches = out["batches"]
+    assert len(batches) == 64
+    # in-order, exactly-once delivery
+    assert [i for b in batches for i in b] == list(range(256))

@@ -120,6 +120,44 @@ def test_run_training_and_auto_resume(tiny_trainer, tmp_path):
     assert by_step[5] < by_step[3] < by_step[1]
 
 
+def test_run_training_through_threaded_dataloader(tiny_trainer, tmp_path):
+    """SFT smoke at the cli.py wiring: run_training consumes a threaded
+    DataLoader (num_workers=4) for >8 batches — the configuration that
+    deadlocked with the old whole-batch-task loader. Watchdog-bounded."""
+    import threading
+
+    from u2tokenizer_tpu.data.datasets import DataLoader
+
+    model, tx, state0, train_step, batch = tiny_trainer
+    out = str(tmp_path / "dl_run")
+    tcfg = TrainConfig(max_steps=12, save_steps=100, log_steps=100,
+                       output_dir=out)
+
+    class _BatchDataset:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            return {k: np.asarray(v[0]) for k, v in batch.items()}
+
+    loader = DataLoader(_BatchDataset(), batch_size=2, shuffle=False,
+                        num_workers=4,
+                        collate_fn=lambda items: {
+                            k: np.stack([s[k] for s in items])
+                            for k in items[0]})
+    out_state = {}
+
+    def run():
+        out_state["state"] = run_training(
+            tcfg, state0, train_step, lambda epoch: iter(loader))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(120)
+    assert not t.is_alive(), "run_training stalled on the threaded DataLoader"
+    assert int(np.asarray(out_state["state"].step)) == 12
+
+
 def test_run_training_epoch_bounded(tiny_trainer, tmp_path):
     model, tx, state0, train_step, batch = tiny_trainer
     out = str(tmp_path / "epochs")

@@ -236,21 +236,27 @@ class DataLoader:
                     yield batch
             return
 
+        # Only per-item work runs on the pool; batches are assembled on the
+        # consumer thread. (A previous version submitted whole-batch tasks
+        # that called pool.map on the same pool — once all workers held
+        # batch tasks, the per-item tasks queued behind them could never
+        # run, deadlocking whenever len(batches) > num_workers.)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            def fetch(idxs):
-                return self.collate_fn(
-                    list(pool.map(lambda i: self.dataset[int(i)], idxs)))
+            def submit_batch(idxs) -> List[cf.Future]:
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in idxs]
 
-            pending: List[cf.Future] = []
+            pending: List[List[cf.Future]] = []
             it = iter(batches)
             for _ in range(min(2 * self.num_workers, len(batches))):
-                pending.append(pool.submit(fetch, next(it)))
+                pending.append(submit_batch(next(it)))
             for idxs in it:
-                batch = pending.pop(0).result()
-                pending.append(pool.submit(fetch, idxs))
+                futs = pending.pop(0)
+                batch = self.collate_fn([f.result() for f in futs])
+                pending.append(submit_batch(idxs))
                 if batch is not None:
                     yield batch
-            for fut in pending:
-                batch = fut.result()
+            for futs in pending:
+                batch = self.collate_fn([f.result() for f in futs])
                 if batch is not None:
                     yield batch
