@@ -133,3 +133,23 @@ def test_dryrun_multichip_sizes(n):
     import __graft_entry__ as g
 
     g.dryrun_multichip(n)
+
+
+def test_no_involuntary_rematerialization(capfd):
+    """The fuse-path activation constraints must eliminate SPMD's
+    "Involuntary full rematerialization" reshard on the {data,fsdp,tensor}
+    mesh (VERDICT r2 weak #3). XLA emits the warning from C++ during
+    compilation, so assert on fd-level stderr capture."""
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3, warmup_ratio=0.0), 10)
+    batch = _sample_batch(cfg)
+    state, train_step, batch_shardings = make_sharded_trainer(
+        model, tx, mesh, jax.random.PRNGKey(0), batch)
+    batch = jax.device_put(batch, batch_shardings)
+    capfd.readouterr()  # drain init/compile noise from setup
+    state, metrics = train_step(state, batch)  # traces + compiles the step
+    jax.block_until_ready(state.params)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err

@@ -89,10 +89,20 @@ class U2CausalLM(nn.Module):
         tokens (μ²tokenizer fuse or flat concat). Split out from
         encode_vision so callers can microbatch the chunk encode
         (generate._microbatched_embeds)."""
+        from ..parallel.mesh import batch_sharded_activation
+
         b, t = v_tokens.shape[:2]
         if self.cfg.u2t.enable:
             t_tokens = self.llm.embed_tokens(question_ids)
-            return self.u2tokenizer(v_tokens, t_tokens)
+            # Pin the fuse activations batch-sharded: embed_tokens' output
+            # otherwise carries the decoder's tensor-sharded layout into the
+            # TTA, and SPMD resolves the conflict with an involuntary full
+            # rematerialization every step (no-op without an activation
+            # mesh — see parallel.mesh.activation_mesh).
+            t_tokens = batch_sharded_activation(t_tokens)
+            v_tokens = batch_sharded_activation(v_tokens)
+            return batch_sharded_activation(
+                self.u2tokenizer(v_tokens, t_tokens))
         return v_tokens.reshape(b, t * v_tokens.shape[-2], v_tokens.shape[-1])
 
     def splice_embeds(self, input_ids: jnp.ndarray,
@@ -144,6 +154,20 @@ class U2CausalLM(nn.Module):
             positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
         return self.llm(inputs_embeds, positions, mask, cache, write_index,
                         lens, compute_logits)
+
+    def encode_vision_with_attention(self, images: jnp.ndarray,
+                                     question_ids: jnp.ndarray) -> jnp.ndarray:
+        """encode_vision with μ²tokenizer attention capture enabled: call via
+        ``apply(..., mutable=["intermediates"], method=
+        "encode_vision_with_attention")`` and read the sown softmax maps
+        (the reference's return_attn demo paths, svr.py:50-62,
+        tta.py:126-140)."""
+        b, t = images.shape[:2]
+        chunks = images.reshape(b * t, 1, *images.shape[2:])
+        feats = self.encode_images(chunks)
+        v_tokens = feats.reshape(b, t, feats.shape[-2], feats.shape[-1])
+        t_tokens = self.llm.embed_tokens(question_ids)
+        return self.u2tokenizer(v_tokens, t_tokens, capture_attention=True)
 
     # --- exposed submodule entry points (for apply(..., method=...)) ---
 

@@ -152,8 +152,17 @@ def make_sharded_trainer(model: U2CausalLM, tx, mesh: Mesh, rng,
     batch_shardings = {
         k: data_sharding(mesh, v.ndim) for k, v in sample_batch.items()}
     train_step = make_train_step(model, tx, trainable_filter)
+
+    def traced_step(state, batch):
+        # activation constraints (models/u2_model.fuse_vision) bind to the
+        # mesh during tracing only — single-chip paths stay unconstrained
+        from ..parallel.mesh import activation_mesh
+
+        with activation_mesh(mesh):
+            return train_step(state, batch)
+
     jitted = jax.jit(
-        train_step,
+        traced_step,
         in_shardings=(state_shardings, batch_shardings),
         out_shardings=(state_shardings, None),
         donate_argnums=(0,),
