@@ -76,6 +76,8 @@ def make_spec_generate_fn(
     cache_dtype=jnp.bfloat16,
     block_len: int = 8,
     return_stats: bool = False,
+    prefill_chunk: Optional[int] = None,
+    forced_content: bool = False,
 ) -> Callable:
     """Build generate(params, inputs_embeds, prompt_ids, prompt_len, rng).
 
@@ -94,12 +96,25 @@ def make_spec_generate_fn(
     from p (Leviathan et al. speculative sampling with a deterministic
     draft). The OUTPUT DISTRIBUTION equals plain sampling; individual
     trajectories differ because randomness is consumed differently.
+
+    ``forced_content=True`` (greedy only): generate takes a trailing
+    ``script`` argument (B, >= max_new + block_len) and the EMITTED tokens
+    come from the script instead of argmax — every forward, cache update,
+    logits computation and the n-gram drafting over the (scripted) history
+    is unchanged, so wall-clock equals real serving whose model emits
+    exactly that content. This is the content-controlled benchmark mode:
+    random-weight greedy output degenerates into token cycles that flatter
+    n-gram acceptance, so honest speculative numbers are measured by
+    scripting realistic report text through the identical compute path.
     """
+    assert not (forced_content and gen.do_sample), \
+        "forced_content benchmarks the greedy path"
     llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
     kb = block_len
     max_new = gen.max_new_tokens
 
-    def generate(params, inputs_embeds, prompt_ids, prompt_len, rng):
+    def generate(params, inputs_embeds, prompt_ids, prompt_len, rng,
+                 script=None):
         b, s, _ = inputs_embeds.shape
         # +kb slack: a verify block starting at the last live slot may write
         # up to kb-1 tokens past it (masked, later overwritten — never read).
@@ -107,20 +122,50 @@ def make_spec_generate_fn(
         cache = KVCache.create(llm_cfg, b, total, cache_dtype)
         prompt_len = prompt_len.astype(jnp.int32)
 
-        # --- prefill (identical to make_generate_fn) ---
+        # --- prefill (identical to make_generate_fn, incl. the chunked
+        # variant that bounds the prefill activation peak; see
+        # generate.make_generate_fn's prefill_chunk docstring) ---
         att = (jnp.arange(s)[None, :] < prompt_len[:, None]).astype(jnp.int32)
-        mask = causal_padding_mask(att)
-        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-        _, hidden, cache = model.apply(
-            params, inputs_embeds, attention_mask=None, cache=cache,
-            write_index=jnp.int32(0), positions=positions, mask=mask,
-            lens=prompt_len, compute_logits=False, method="forward_embeds")
+        if prefill_chunk and prefill_chunk < s and s % prefill_chunk == 0:
+            cs = prefill_chunk
+            kvp = jnp.arange(total, dtype=jnp.int32)
+            chunks = jnp.swapaxes(
+                inputs_embeds.reshape(b, s // cs, cs, -1), 0, 1)
+
+            def pre(cache, inp):
+                ci, emb_c = inp
+                base = ci * cs
+                pos = jnp.broadcast_to(
+                    base + jnp.arange(cs, dtype=jnp.int32), (b, cs))
+                pmask = (kvp[None, :]
+                         <= (base + jnp.arange(cs))[:, None])[None, None]
+                widx = jnp.full((b,), base, jnp.int32)
+                _, hidden_c, cache = model.apply(
+                    params, emb_c, attention_mask=None, cache=cache,
+                    write_index=widx, positions=pos, mask=pmask,
+                    compute_logits=False, method="forward_embeds")
+                return cache, hidden_c
+
+            cache, hiddens = jax.lax.scan(
+                pre, cache, (jnp.arange(s // cs), chunks))
+            hidden = jnp.swapaxes(hiddens, 0, 1).reshape(b, s, -1)
+        else:
+            mask = causal_padding_mask(att)
+            positions = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32), (b, s))
+            _, hidden, cache = model.apply(
+                params, inputs_embeds, attention_mask=None, cache=cache,
+                write_index=jnp.int32(0), positions=positions, mask=mask,
+                lens=prompt_len, compute_logits=False,
+                method="forward_embeds")
         last_hidden = jnp.take_along_axis(
             hidden, (prompt_len - 1)[:, None, None], axis=1)
         last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
         rng, sub = jax.random.split(rng)
         tok0 = sample(sub, last, do_sample=gen.do_sample,
                       temperature=gen.temperature, top_p=gen.top_p)
+        if forced_content:
+            tok0 = script[:, 0].astype(jnp.int32)
 
         # token history for drafting: prompt at [0, prompt_len), -1 gap,
         # generated token j at s + j
@@ -182,6 +227,14 @@ def make_spec_generate_fn(
             rng = st["rng"]
             if not gen.do_sample:
                 g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, kb)
+                if forced_content:
+                    # scripted continuation: position j's model output is
+                    # the script token at emitted index n_emit + j (logits
+                    # above are still fully computed — identical FLOPs)
+                    idxs = n_emit[:, None] + koff[None, :]
+                    g = jnp.take_along_axis(
+                        script.astype(jnp.int32),
+                        jnp.clip(idxs, 0, script.shape[1] - 1), axis=1)
                 # -- longest accepted prefix: f[j] must equal g[j-1] --
                 match = f[:, 1:] == g[:, :-1]                  # (B, kb-1)
                 chain = jnp.cumprod(match.astype(jnp.int32), axis=1)
@@ -279,17 +332,25 @@ def make_spec_multimodal_generate_fn(
     jit: bool = True,
     vision_microbatch: int = 128,
     return_stats: bool = False,
+    prefill_chunk: Optional[int] = None,
+    forced_content: bool = False,
 ) -> Callable:
     """Speculative counterpart of generate.make_multimodal_generate_fn:
-    generate(params, input_ids, images, question_ids, prompt_len, rng)."""
+    generate(params, input_ids, images, question_ids, prompt_len, rng).
+    ``forced_content``: see make_spec_generate_fn — appends a trailing
+    ``script`` argument."""
     from .generate import _microbatched_embeds
 
     gen_fn = make_spec_generate_fn(model, gen, cache_dtype, block_len,
-                                   return_stats)
+                                   return_stats, prefill_chunk,
+                                   forced_content)
 
-    def generate(params, input_ids, images, question_ids, prompt_len, rng):
+    def generate(params, input_ids, images, question_ids, prompt_len, rng,
+                 script=None):
         embeds = _microbatched_embeds(model, params, input_ids, images,
                                       question_ids, vision_microbatch)
+        if forced_content:
+            return gen_fn(params, embeds, input_ids, prompt_len, rng, script)
         return gen_fn(params, embeds, input_ids, prompt_len, rng)
 
     if jit:
