@@ -81,8 +81,13 @@ class M3DBase:
 
     def encode_qa(self, question: str, answer: str,
                   raw_question: str) -> Dict[str, Any]:
+        # Eval modes prompt with the question only (the reference's
+        # *TestDataset variants tokenize just the question —
+        # eval/M3D-Bench/eval/eval_pos.py:110); training packs Q+A for the
+        # teacher-forced LM loss.
+        text = question if not self.training else question + " " + answer
         input_id, attention_mask, valid_len = self._pad(
-            self.tokenizer(question + " " + answer)["input_ids"])
+            self.tokenizer(text)["input_ids"])
         if valid_len < self.max_length:
             input_id[valid_len] = self.tokenizer.eos_token_id
         _, _, question_len = self._pad(self.tokenizer(question)["input_ids"])
