@@ -2,6 +2,7 @@
 stub judge, and the JaxJudge decoder backend."""
 
 import numpy as np
+import pytest
 
 from test_data import MockTokenizer
 
@@ -181,3 +182,134 @@ def test_nlg_metrics():
     assert exact_match_accuracy(["A", "B"], ["A. choice", "C"]) == 0.5
     s = score_report(ref, hyp)
     assert set(s) == {"bleu1", "rouge1_f", "rouge2_f", "rougeL_f", "meteor"}
+
+
+def test_openai_batch_judge_against_mock_server(tmp_path):
+    """Drive the full batch-file workflow (generate/upload/create/probe/
+    fetch — green_refactored/green.py:148-186 parity) against a local mock
+    of the OpenAI batch API; results must come back prompt-ordered even
+    when the server returns them shuffled."""
+    import http.server
+    import json
+    import threading
+
+    from u2tokenizer_tpu.eval.green import OpenAIBatchJudge
+
+    store = {"files": {}, "batches": {}}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            if self.path == "/v1/files":
+                # multipart: pull out the jsonl payload between the file
+                # part header and the closing boundary
+                text = raw.split(b"\r\n\r\n", 2)[-1]
+                payload = text.rsplit(b"\r\n--", 1)[0]
+                fid = f"file_{len(store['files'])}"
+                store["files"][fid] = payload
+                self._json({"id": fid, "purpose": "batch"})
+            elif self.path == "/v1/batches":
+                req = json.loads(raw)
+                assert req["endpoint"] == "/v1/chat/completions"
+                bid = f"batch_{len(store['batches'])}"
+                # build shuffled results echoing each prompt's index
+                rows = [json.loads(l) for l in
+                        store["files"][req["input_file_id"]].splitlines()]
+                out = []
+                for row in reversed(rows):  # reversed = shuffled order
+                    content = ("[Explanation]:\nok\n\n"
+                               "[Clinically Significant Errors]:\n"
+                               "(a) False report: 0.\n\n"
+                               "[Clinically Insignificant Errors]:\n"
+                               "(a) False report: 0.\n\n"
+                               "[Matched Findings]:\n"
+                               f"{int(row['custom_id'].split('_')[-1]) + 1}. "
+                               "f1\n")
+                    out.append(json.dumps({
+                        "custom_id": row["custom_id"],
+                        "response": {"body": {"choices": [
+                            {"message": {"content": content}}]}}}))
+                ofid = f"file_out_{bid}"
+                store["files"][ofid] = "\n".join(out).encode()
+                store["batches"][bid] = {
+                    "id": bid, "status": "completed",
+                    "output_file_id": ofid}
+                self._json(store["batches"][bid])
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_GET(self):
+            if self.path.startswith("/v1/batches/"):
+                bid = self.path.rsplit("/", 1)[-1]
+                self._json(store["batches"][bid])
+            elif self.path.startswith("/v1/files/") and \
+                    self.path.endswith("/content"):
+                fid = self.path.split("/")[3]
+                body = store["files"][fid]
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json({"error": "not found"}, 404)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        judge = OpenAIBatchJudge(
+            base_url=f"http://127.0.0.1:{srv.server_port}/v1",
+            api_key="test", model="mock", poll_seconds=0.05)
+        prompts = [make_green_prompt("ref a", "hyp a"),
+                   make_green_prompt("ref b", "hyp b"),
+                   make_green_prompt("ref c", "hyp c")]
+        responses = judge(prompts)
+        assert len(responses) == 3
+        # order restored: response i reports i+1 matched findings
+        for i, r in enumerate(responses):
+            assert f"[Matched Findings]:\n{i + 1}." in r
+        # and it composes with the scorer
+        scorer = GreenScorer(judge, compute_summary_stats=False)
+        result = scorer(["ref a", "ref b", "ref c"], ["a", "b", "c"])
+        assert result.scores == [1.0, 1.0, 1.0]
+    finally:
+        srv.shutdown()
+
+
+def test_parser_against_judge_response_fixtures():
+    """Parser contract over the realistic judge-output fixture bank
+    (tests/fixtures/green_responses/): every output variant the reference
+    parser handles (letter/number labels, 'No ...' bodies, prompt echo,
+    truncation, zero matches, messy formatting) must score exactly as
+    recorded in expected_scores.json."""
+    import json
+    import os
+
+    from u2tokenizer_tpu.eval.green import parse_error_counts
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "green_responses")
+    with open(os.path.join(fixdir, "expected_scores.json")) as f:
+        expected = json.load(f)
+    assert len(expected) >= 7
+    for name, exp in expected.items():
+        with open(os.path.join(fixdir, name)) as f:
+            response = clean_response(f.read())
+        score = compute_green(response)
+        assert score == pytest.approx(exp["green"]), name
+        _, sig = parse_error_counts(response, CATEGORIES[0])
+        assert sig == exp["sig"], name
+        matched, _ = parse_error_counts(response, CATEGORIES[2])
+        assert matched == exp["matched"], name

@@ -294,6 +294,154 @@ class GreenScorer:
         return summary
 
 
+class OpenAIBatchJudge:
+    """GREEN judge over the OpenAI *batch-file* API — the cheap hosted
+    judging path (half-price, 24 h window). Behavioral rebuild of
+    green_refactored/green.py:148-186 (generate_batch_file / upload /
+    run_batch / probe_batch / fetch_batch_result) on stdlib urllib, so it
+    works against OpenAI or any protocol-compatible server with no client
+    dependency.
+
+    Callable like every other judge: ``judge(prompts) -> responses``
+    (submits one batch, polls until completion). The step methods are
+    public for the fire-and-forget workflow (submit today, fetch
+    tomorrow)."""
+
+    def __init__(self, base_url: str = "https://api.openai.com/v1",
+                 api_key: str = "", model: str = "gpt-4o-mini",
+                 max_tokens: int = 6000, poll_seconds: float = 30.0,
+                 timeout_seconds: float = 24 * 3600.0):
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.model = model
+        self.max_tokens = max_tokens
+        self.poll_seconds = poll_seconds
+        self.timeout_seconds = timeout_seconds
+
+    # -- request plumbing ------------------------------------------------
+
+    def _request(self, path: str, data: Optional[bytes] = None,
+                 headers: Optional[dict] = None) -> dict:
+        import json as _json
+        import urllib.request
+
+        hdr = {"Authorization": f"Bearer {self.api_key}"}
+        if data is not None and (headers is None or
+                                 "Content-Type" not in headers):
+            hdr["Content-Type"] = "application/json"
+        hdr.update(headers or {})
+        req = urllib.request.Request(f"{self.base_url}{path}", data=data,
+                                     headers=hdr)
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = resp.read()
+        return _json.loads(body)
+
+    # -- batch-file workflow (green.py:148-186 step parity) --------------
+
+    def generate_batch_file(self, prompts: Sequence[str],
+                            file_name: str) -> None:
+        """One /v1/chat/completions request per prompt, custom_id green_<i>."""
+        import json as _json
+
+        with open(file_name, "w") as f:
+            for i, prompt in enumerate(prompts):
+                request = {
+                    "custom_id": f"green_{i}",
+                    "method": "POST",
+                    "url": "/v1/chat/completions",
+                    "body": {
+                        "model": self.model,
+                        "messages": [{"role": "user", "content": prompt}],
+                        "max_tokens": self.max_tokens,
+                    },
+                }
+                f.write(_json.dumps(request) + "\n")
+
+    def upload_batch_file(self, file_name: str) -> str:
+        """multipart/form-data upload with purpose=batch; returns file id."""
+        import os as _os
+        import uuid
+
+        boundary = uuid.uuid4().hex
+        with open(file_name, "rb") as f:
+            content = f.read()
+        part = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="purpose"\r\n\r\n'
+            "batch\r\n"
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            f'filename="{_os.path.basename(file_name)}"\r\n'
+            "Content-Type: application/jsonl\r\n\r\n"
+        ).encode() + content + f"\r\n--{boundary}--\r\n".encode()
+        out = self._request(
+            "/files", data=part,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        return out["id"]
+
+    def run_batch(self, batch_file_id: str) -> str:
+        import json as _json
+
+        out = self._request("/batches", data=_json.dumps({
+            "input_file_id": batch_file_id,
+            "endpoint": "/v1/chat/completions",
+            "completion_window": "24h",
+        }).encode())
+        return out["id"]
+
+    def probe_batch(self, batch_id: str) -> str:
+        return self._request(f"/batches/{batch_id}")["status"]
+
+    def fetch_batch_result(self, batch_id: str) -> Optional[List[str]]:
+        """None until completed; then responses ordered by custom_id index
+        (the batch API does not guarantee output order)."""
+        import json as _json
+        import urllib.request
+
+        status = self._request(f"/batches/{batch_id}")
+        if status["status"] != "completed":
+            return None
+        req = urllib.request.Request(
+            f"{self.base_url}/files/{status['output_file_id']}/content",
+            headers={"Authorization": f"Bearer {self.api_key}"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            content = resp.read()
+        by_index: Dict[int, str] = {}
+        for line in content.splitlines():
+            if not line.strip():
+                continue
+            row = _json.loads(line)
+            idx = int(str(row["custom_id"]).rsplit("_", 1)[-1])
+            by_index[idx] = (
+                row["response"]["body"]["choices"][0]["message"]["content"])
+        return [by_index.get(i, "") for i in range(max(by_index) + 1)] \
+            if by_index else []
+
+    # -- synchronous judge interface -------------------------------------
+
+    def __call__(self, prompts: Sequence[str]) -> List[str]:
+        import tempfile
+        import time as _time
+
+        with tempfile.NamedTemporaryFile("w", suffix=".jsonl",
+                                         delete=False) as f:
+            file_name = f.name
+        self.generate_batch_file(prompts, file_name)
+        batch_id = self.run_batch(self.upload_batch_file(file_name))
+        deadline = _time.time() + self.timeout_seconds
+        while _time.time() < deadline:
+            result = self.fetch_batch_result(batch_id)
+            if result is not None:
+                return result
+            status = self.probe_batch(batch_id)
+            if status in ("failed", "expired", "cancelled"):
+                raise RuntimeError(f"batch {batch_id} ended: {status}")
+            _time.sleep(self.poll_seconds)
+        raise TimeoutError(f"batch {batch_id} not complete after "
+                           f"{self.timeout_seconds}s")
+
+
 class JaxJudge:
     """Judge backend on the framework's own decoder stack (text-only
     generate), batched (reference batch_size=4, green.py:211)."""
