@@ -188,3 +188,54 @@ def test_report_stream_sse(server_url):
     # non-slot backends fall back to a single final chunk
     text = "".join(c["report_delta"] for c in chunks)
     assert isinstance(text, str)
+
+
+def test_upload_slice_viewer_and_config(server_url):
+    """online_demo.py parity surface: upload raw volume bytes, browse
+    slices as PNG, read the load-option config."""
+    url, vol = server_url
+
+    # upload the raw NIfTI bytes
+    with open(vol, "rb") as f:
+        data = f.read()
+    req = urllib.request.Request(
+        url + "/v1/upload", data=data,
+        headers={"Content-Type": "application/octet-stream",
+                 "X-Filename": "case.nii.gz"})
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        info = json.loads(resp.read())
+    assert info["volume_id"].startswith("vol-")
+    assert info["chunks"] >= 1 and info["depth"] >= 1
+
+    # slice endpoint returns a real PNG
+    with urllib.request.urlopen(
+            f"{url}/v1/volume/{info['volume_id']}/slice/0") as resp:
+        png = resp.read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(png) > 100
+
+    # unknown volume -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(url + "/v1/volume/vol-nope/slice/0")
+    assert e.value.code == 404
+
+    # generate against the uploaded volume id
+    status, out = _post(url + "/v1/report",
+                        {"volume_id": info["volume_id"],
+                         "question": "describe findings"})
+    assert status == 200 and "report" in out
+
+    # config readout (weights/speculative toggles surface)
+    with urllib.request.urlopen(url + "/v1/config") as resp:
+        cfg = json.loads(resp.read())
+    assert cfg["weights"] == "bf16"
+    assert cfg["speculative"] is False
+
+
+def test_demo_page_has_upload_and_slice_viewer(server_url):
+    url, _ = server_url
+    with urllib.request.urlopen(url + "/") as resp:
+        html = resp.read().decode()
+    for needle in ("/v1/upload", "slice", "slider", "type=\"file\"",
+                   "/v1/config"):
+        assert needle in html, needle

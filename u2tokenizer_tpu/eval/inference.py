@@ -37,7 +37,8 @@ class U2InferenceModel:
                  model_config=None, dtype=None, max_length: int = 1024,
                  max_new_tokens: int = 768, do_sample: bool = True,
                  top_p: float = 0.9, lora_path: Optional[str] = None,
-                 seed: int = 0, speculative: bool = False):
+                 seed: int = 0, speculative: bool = False,
+                 weights: str = "bf16"):
         import jax
         import jax.numpy as jnp
 
@@ -80,6 +81,25 @@ class U2InferenceModel:
         if lora_path is not None:
             self._merge_lora(lora_path)
 
+        # serving weight precision (the online_demo.py bf16/8-bit/4-bit load
+        # toggles, src/demo/online_demo.py:20-60): int8/int4 quantize the
+        # decoder weight-only (models/quantize.py), bf16 casts matrices.
+        self.weights = weights
+        if weights in ("int8", "int4"):
+            from ..models.quantize import (cast_for_inference,
+                                           quantize_llm_weights,
+                                           quantized_llm_config)
+
+            self.params = jax.jit(cast_for_inference)(self.params)
+            if weights == "int8":
+                self.params = jax.jit(quantize_llm_weights)(self.params)
+            else:
+                # int4 runs unjitted: S4 arrays cannot cross jit boundaries
+                # on the axon relay (see bench.py int4 notes)
+                self.params = quantize_llm_weights(self.params, mode="int4")
+            self.cfg = quantized_llm_config(self.cfg, weights)
+        elif weights == "bf16":
+            pass  # model dtype below already computes in bf16
         self.model = U2CausalLM(self.cfg, dtype=dtype or jnp.bfloat16)
         self.max_length = max_length
         gen = GenerationConfig(

@@ -122,8 +122,36 @@ def bulk_preprocess(paths, target: int = 256, chunk_depth: int = 32,
     use_native = native_available()
     if not use_native and fallback is None:
         raise RuntimeError("native library unavailable and no fallback given")
+
+    def path_stem(path: str) -> str:
+        stem = os.path.basename(path)
+        for ext in (".nii.gz", ".nii", ".npy"):
+            if stem.endswith(ext):
+                stem = stem[: -len(ext)]
+                break
+        return stem
+
+    out_names = {}
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
+        # Same-named volumes from different input directories (common across
+        # dataset shards) must not silently overwrite each other: on stem
+        # collision, disambiguate with the parent-directory name; if even
+        # that collides, refuse rather than drop data.
+        by_stem = {}
+        for p in paths:
+            by_stem.setdefault(path_stem(p), []).append(p)
+        for stem, group in by_stem.items():
+            if len(group) == 1:
+                out_names[group[0]] = stem
+            else:
+                for p in group:
+                    parent = os.path.basename(os.path.dirname(p)) or "root"
+                    out_names[p] = f"{parent}__{stem}"
+        if len(set(out_names.values())) != len(paths):
+            raise ValueError(
+                "bulk_preprocess: output stem collision even after "
+                "directory-prefix disambiguation; pass distinct paths")
 
     def work(path: str):
         try:
@@ -133,12 +161,7 @@ def bulk_preprocess(paths, target: int = 256, chunk_depth: int = 32,
             else:
                 arr = np.asarray(fallback(path), np.float32)
             if out_dir is not None:
-                stem = os.path.basename(path)
-                for ext in (".nii.gz", ".nii", ".npy"):
-                    if stem.endswith(ext):
-                        stem = stem[: -len(ext)]
-                        break
-                np.save(os.path.join(out_dir, stem + ".npy"), arr)
+                np.save(os.path.join(out_dir, out_names[path] + ".npy"), arr)
                 return path, None, None
             return path, arr, None
         except Exception as e:  # noqa: BLE001 — per-volume isolation

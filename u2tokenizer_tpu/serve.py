@@ -27,6 +27,27 @@ from typing import Optional
 import numpy as np
 
 
+def encode_gray_png(img: np.ndarray) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (stdlib zlib only) — backs the
+    web demo's slice viewer without an imaging dependency."""
+    import struct
+    import zlib
+
+    arr = np.asarray(img, np.float32)
+    lo, hi = float(arr.min()), float(arr.max())
+    arr = ((arr - lo) / (hi - lo + 1e-8) * 255.0).astype(np.uint8)
+    h, w = arr.shape
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data +
+                struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
 class U2Server:
     def __init__(self, inference_model, transform=None):
         """inference_model: eval.inference.U2InferenceModel (or compatible
@@ -45,11 +66,56 @@ class U2Server:
                 num_chunks=cfg.num_chunks)
         self.transform = transform
         self._lock = threading.Lock()
+        # uploaded-volume store (online_demo.py upload parity): id -> array
+        self._volumes: dict = {}
+        self._volume_order: list = []
+        self.max_cached_volumes = 8
 
     def load_volume(self, path: str) -> np.ndarray:
+        if path in self._volumes:
+            return self._volumes[path]
         if path.endswith(".npy"):
             return np.load(path).astype(np.float32)
         return self.transform(path)
+
+    def upload_volume(self, data: bytes, filename: str) -> dict:
+        """Ingest raw upload bytes (.nii/.nii.gz/.npy), preprocess through
+        the standard transform, cache under a volume id."""
+        import hashlib
+        import os
+        import tempfile
+
+        suffix = ".npy" if filename.endswith(".npy") else (
+            ".nii.gz" if filename.endswith(".nii.gz") else ".nii")
+        fd, tmp = tempfile.mkstemp(suffix=suffix)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            if suffix == ".npy":
+                volume = np.load(tmp).astype(np.float32)
+            else:
+                volume = self.transform(tmp)
+        finally:
+            os.unlink(tmp)
+        vid = "vol-" + hashlib.sha1(data).hexdigest()[:12]
+        if vid not in self._volumes:
+            self._volumes[vid] = volume
+            self._volume_order.append(vid)
+            while len(self._volume_order) > self.max_cached_volumes:
+                self._volumes.pop(self._volume_order.pop(0), None)
+        t, d, h, w = volume.shape
+        return {"volume_id": vid, "chunks": t, "depth": d,
+                "height": h, "width": w}
+
+    def slice_png(self, volume_id: str, index: int) -> bytes:
+        """Global slice index across chunks -> grayscale PNG (the
+        online_demo.py slice viewer)."""
+        vol = self._volumes.get(volume_id)
+        if vol is None:
+            raise FileNotFoundError(f"unknown volume {volume_id}")
+        t, d, _, _ = vol.shape
+        index = max(0, min(int(index), t * d - 1))
+        return encode_gray_png(vol[index // d, index % d])
 
     def report(self, image_path: str, question: str) -> str:
         volume = self.load_volume(image_path)
@@ -85,8 +151,12 @@ class U2Server:
             if getattr(self.model, "concurrent", False):
                 yield self.model.inference(image, question)
             else:
+                # compute under the lock, yield after releasing it — holding
+                # the lock across the yield would let one slow SSE consumer
+                # block every other request for client-paced time
                 with self._lock:
-                    yield self.model.inference(image, question)
+                    text = self.model.inference(image, question)
+                yield text
 
     def chat_stream(self, messages):
         prompt = "\n".join(m.get("content", "") for m in messages)
@@ -171,26 +241,81 @@ class TextLMServer:
 INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>μ² report demo</title>
 <style>
- body{font-family:system-ui,sans-serif;max-width:760px;margin:2rem auto;
+ body{font-family:system-ui,sans-serif;max-width:860px;margin:2rem auto;
       padding:0 1rem;background:#fafafa;color:#222}
- h1{font-size:1.3rem} textarea,input{width:100%;box-sizing:border-box;
-      font:inherit;padding:.5rem;margin:.25rem 0;border:1px solid #bbb;
-      border-radius:6px}
+ h1{font-size:1.3rem} textarea,input[type=text]{width:100%;
+      box-sizing:border-box;font:inherit;padding:.5rem;margin:.25rem 0;
+      border:1px solid #bbb;border-radius:6px}
  button{padding:.5rem 1.2rem;border:0;border-radius:6px;background:#2563eb;
       color:#fff;font:inherit;cursor:pointer} button:disabled{opacity:.5}
  pre{white-space:pre-wrap;background:#fff;border:1px solid #ddd;
       border-radius:6px;padding:1rem;min-height:4rem}
- .hint{color:#666;font-size:.85rem}
+ .hint{color:#666;font-size:.85rem} .row{display:flex;gap:1rem}
+ .col{flex:1} #slice{width:100%;image-rendering:pixelated;background:#000;
+      border-radius:6px;min-height:120px}
+ #cfg{font-size:.8rem;color:#444;background:#eef;border-radius:6px;
+      padding:.3rem .6rem;display:inline-block}
+ input[type=range]{width:100%}
 </style></head><body>
 <h1>μ² radiology report demo</h1>
-<p class="hint">Server-visible CT path (.nii.gz or preprocessed .npy); leave
-empty for a text-only chat turn (src/demo/online_demo.py counterpart).</p>
-<input id="image" placeholder="/path/to/volume.nii.gz (optional)">
+<div id="cfg">loading config…</div>
+<p class="hint">Upload a CT volume (.nii / .nii.gz / preprocessed .npy) or
+give a server-visible path; leave both empty for a text-only chat turn
+(src/demo/online_demo.py counterpart: upload + slice viewer + load-option
+readout).</p>
+<div class="row">
+ <div class="col">
+  <input type="file" id="file" accept=".nii,.gz,.npy">
+  <button onclick="upload()" id="up">Upload &amp; preprocess</button>
+  <div class="hint" id="upinfo">no volume uploaded</div>
+  <input id="image" type="text"
+         placeholder="...or /server/path/volume.nii.gz">
+ </div>
+ <div class="col">
+  <img id="slice" alt="slice viewer">
+  <input type="range" id="slider" min="0" max="0" value="0"
+         oninput="showSlice()" disabled>
+  <div class="hint" id="sliceinfo">slice —</div>
+ </div>
+</div>
 <textarea id="question" rows="3">Please provide a detailed caption outlining
 the findings of this image.</textarea>
 <button id="go" onclick="run()">Generate</button>
 <pre id="out">—</pre>
 <script>
+let volumeId=null, nSlices=0;
+fetch('/v1/config').then(r=>r.json()).then(c=>{
+  document.getElementById('cfg').textContent=
+    'weights: '+c.weights+' · speculative: '+c.speculative+
+    ' · continuous batching: '+c.concurrent;
+}).catch(()=>{});
+async function upload(){
+  const f=document.getElementById('file').files[0];
+  const info=document.getElementById('upinfo');
+  if(!f){info.textContent='choose a file first';return}
+  info.textContent='uploading + preprocessing…';
+  try{
+    const resp=await fetch('/v1/upload',{method:'POST',
+      headers:{'X-Filename':f.name,
+               'Content-Type':'application/octet-stream'},
+      body:await f.arrayBuffer()});
+    const j=await resp.json();
+    if(j.error){info.textContent='error: '+j.error;return}
+    volumeId=j.volume_id; nSlices=j.chunks*j.depth;
+    info.textContent=j.volume_id+' — '+j.chunks+'×'+j.depth+'×'+
+      j.height+'×'+j.width;
+    const s=document.getElementById('slider');
+    s.max=nSlices-1; s.value=Math.floor(nSlices/2); s.disabled=false;
+    showSlice();
+  }catch(e){info.textContent='error: '+e}
+}
+function showSlice(){
+  if(!volumeId)return;
+  const i=document.getElementById('slider').value;
+  document.getElementById('slice').src='/v1/volume/'+volumeId+'/slice/'+i;
+  document.getElementById('sliceinfo').textContent=
+    'slice '+i+' / '+(nSlices-1);
+}
 async function run(){
   const btn=document.getElementById('go'); btn.disabled=true;
   const out=document.getElementById('out'); out.textContent='generating…';
@@ -198,10 +323,12 @@ async function run(){
   const question=document.getElementById('question').value;
   try{
     let resp;
-    if(image){
+    if(volumeId||image){
+      const body=volumeId?{volume_id:volumeId,question}
+                         :{image_path:image,question};
       resp=await fetch('/v1/report',{method:'POST',
         headers:{'Content-Type':'application/json'},
-        body:JSON.stringify({image_path:image,question})});
+        body:JSON.stringify(body)});
       const j=await resp.json();
       out.textContent=j.report||JSON.stringify(j);
     }else{
@@ -241,11 +368,20 @@ def make_handler(server: U2Server):
                     self.wfile.write(b"data: " + data + b"\n\n")
                     self.wfile.flush()
             except Exception as e:  # noqa: BLE001 — headers already sent:
-                # surface the error as an SSE event instead of dying silently
-                err = json.dumps({"error": f"{type(e).__name__}: {e}"})
-                self.wfile.write(b"data: " + err.encode() + b"\n\n")
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
+                # surface the error as an SSE event instead of dying silently;
+                # if the socket itself is what failed (client disconnect mid-
+                # stream), these writes raise again — swallow that and just
+                # end the stream quietly.
+                try:
+                    err = json.dumps({"error": f"{type(e).__name__}: {e}"})
+                    self.wfile.write(b"data: " + err.encode() + b"\n\n")
+                except OSError:
+                    return
+            try:
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except OSError:
+                pass
 
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -264,11 +400,52 @@ def make_handler(server: U2Server):
                 name = getattr(server.model, "name", "u2")
                 self._send(200, {"object": "list",
                                  "data": [{"id": name, "object": "model"}]})
+            elif self.path == "/v1/config":
+                # load-option introspection (online_demo.py dtype toggles):
+                # precision is fixed at launch on TPU (weights are compiled
+                # in), so the page reports it instead of switching live
+                m = server.model
+                self._send(200, {
+                    "weights": getattr(m, "weights", "bf16"),
+                    "speculative": bool(getattr(m, "_speculative",
+                                                getattr(m, "speculative",
+                                                        False))),
+                    "concurrent": bool(getattr(m, "concurrent", False)),
+                    "max_new_tokens": getattr(
+                        getattr(m, "gen_cfg", None), "max_new_tokens", None),
+                })
+            elif self.path.startswith("/v1/volume/"):
+                # /v1/volume/<id>/slice/<index> -> PNG
+                parts = self.path.strip("/").split("/")
+                try:
+                    vid, idx = parts[2], int(parts[4])
+                    png = server.slice_png(vid, idx)
+                except (IndexError, ValueError):
+                    self._send(400, {"error": "bad slice path"})
+                    return
+                except FileNotFoundError as e:
+                    self._send(404, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
             else:
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
+            if self.path == "/v1/upload":
+                # raw volume bytes; filename via X-Filename header
+                try:
+                    data = self.rfile.read(length)
+                    info = server.upload_volume(
+                        data, self.headers.get("X-Filename", "volume.nii.gz"))
+                    self._send(200, info)
+                except Exception as e:  # noqa: BLE001 — surface to client
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
             try:
                 req = json.loads(self.rfile.read(length) or b"{}")
             except json.JSONDecodeError:
@@ -278,6 +455,8 @@ def make_handler(server: U2Server):
             try:
                 stream = bool(req.get("stream"))
                 if self.path == "/v1/report":
+                    if "volume_id" in req:  # uploaded volume
+                        req = dict(req, image_path=req["volume_id"])
                     if "image_path" not in req or "question" not in req:
                         self._send(400, {"error":
                                          "image_path and question required"})
