@@ -157,10 +157,19 @@ def cmd_train(args):
 
 
 def _load_pretrained_into_state(path, cfg, state):
-    """Load converted HF/u2 weights into the initialized TrainState."""
+    """Load converted HF/u2 weights into the initialized TrainState.
+    Accepts an HF-layout checkpoint (safetensors dir / pytorch_model.bin)
+    or a directory produced by ``cli convert-checkpoint``."""
     from .models.hf_weights import (convert_u2_checkpoint, load_safetensors_dir,
                                     load_torch_bin)
 
+    if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "u2_params.msgpack")):
+        from flax import serialization
+
+        with open(os.path.join(path, "u2_params.msgpack"), "rb") as f:
+            params = serialization.msgpack_restore(f.read())
+        return state.replace(params=params)
     if os.path.isdir(path):
         sd = load_safetensors_dir(path)
     else:
@@ -451,6 +460,72 @@ def cmd_eval(args):
     print(f"wrote {args.output}", file=sys.stderr)
 
 
+def cmd_eval_m3d(args):
+    """M3D-Bench task drivers: rec (box IoU/acc@0.5), reg (box->term NLG),
+    seg/refseg (Dice via the '[SEG]' path), itr (retrieval recall@k).
+    Parity targets: eval/M3D-Bench/eval/eval_pos.py, eval_seg.py,
+    eval_itr.py."""
+    import jax.numpy as jnp
+
+    from .config import GenerationConfig
+    from .data.m3d_datasets import (M3DITRDataset, M3DPosRECDataset,
+                                    M3DPosREGDataset, M3DRefSegDataset,
+                                    M3DSegDataset)
+    from .eval.evaluators import ReportGenerator
+    from .eval.m3d_bench import (evaluate_itr, evaluate_rec, evaluate_reg,
+                                 evaluate_seg, make_u2_itr_encoders)
+    from .models.generate import (make_multimodal_generate_fn,
+                                  make_seg_generate_fn)
+    from .models.u2_model import U2CausalLM
+
+    cfg = _load_model_config(args)
+    tokenizer = _load_tokenizer(args.tokenizer)
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16)
+    dkw = dict(tokenizer=tokenizer, max_length=args.max_length,
+               proj_out_num=cfg.proj_out_num, mode="test")
+    if args.task == "rec":
+        ds = M3DPosRECDataset(args.data_root, args.seg_data_path,
+                              tag=args.tag, **dkw)
+    elif args.task == "reg":
+        ds = M3DPosREGDataset(args.data_root, args.seg_data_path,
+                              tag=args.tag, **dkw)
+    elif args.task == "seg":
+        ds = M3DSegDataset(args.data_root, args.seg_data_path,
+                           tag=args.tag, **dkw)
+    elif args.task == "refseg":
+        ds = M3DRefSegDataset(args.data_root, args.refseg_data_path, **dkw)
+    else:
+        ds = M3DITRDataset(args.data_root, args.cap_data_path, **dkw)
+
+    gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
+                           do_sample=False,
+                           eos_token_id=tokenizer.eos_token_id,
+                           pad_token_id=tokenizer.pad_token_id or 0)
+    params = _init_or_load(args, model, cfg, ds)
+    if args.task in ("rec", "reg"):
+        gen_fn = make_multimodal_generate_fn(model, gen)
+        generator = ReportGenerator(model, params, tokenizer, gen_fn,
+                                    pad_id=gen.pad_token_id,
+                                    eos_id=tokenizer.eos_token_id)
+        fn = evaluate_rec if args.task == "rec" else evaluate_reg
+        result = fn(ds, generator, max_cases=args.max_cases)
+    elif args.task in ("seg", "refseg"):
+        seg_id = tokenizer.convert_tokens_to_ids("[SEG]")
+        seg_fn = make_seg_generate_fn(model, gen, seg_token_id=seg_id)
+        result = evaluate_seg(ds, seg_fn, params, tokenizer,
+                              max_cases=args.max_cases,
+                              pad_id=gen.pad_token_id,
+                              eos_id=tokenizer.eos_token_id,
+                              seg_image_size=cfg.seg.image_size)
+    else:
+        enc_img, enc_txt = make_u2_itr_encoders(model, params)
+        result = evaluate_itr(ds, enc_img, enc_txt, max_cases=args.max_cases)
+    with open(args.output, "w") as f:
+        f.write(result.to_json())
+    print(json.dumps(result.metrics))
+    print(f"wrote {args.output}", file=sys.stderr)
+
+
 def cmd_eval_predictions(args):
     """Score an external predictions jsonl (any model's outputs) with the
     full metric battery — the generic replacement for the reference's
@@ -478,6 +553,125 @@ def cmd_eval_predictions(args):
 # ---------------------------------------------------------------------------
 # selftest
 # ---------------------------------------------------------------------------
+
+def _checkpoint_cfg_and_sd(hf_dir, num_chunks):
+    """Shared loader for the readiness kit: HF config.json -> U2ModelConfig,
+    plus the raw state dict (either released layout; hf_weights.py handles
+    the enable_rpe / llama3-rope trained-checkpoint flavor)."""
+    from .models.hf_weights import (load_safetensors_dir, load_torch_bin,
+                                    u2_config_from_hf)
+
+    with open(os.path.join(hf_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = u2_config_from_hf(hf_cfg, num_chunks=num_chunks)
+    if any(fn.endswith(".safetensors") for fn in os.listdir(hf_dir)):
+        sd = load_safetensors_dir(hf_dir)
+    else:
+        sd = load_torch_bin(os.path.join(hf_dir, "pytorch_model.bin"))
+    return cfg, sd
+
+
+def cmd_convert_checkpoint(args):
+    """Convert a released μ² HF checkpoint (μ²Qwen3-1.7B/8B,
+    /root/reference/README.md:41-44 layouts) to framework-native params.
+
+    Output dir: u2_config.json + u2_params.msgpack, loadable by every
+    command's --checkpoint/--pretrained flag. One-command readiness for the
+    day real weights are mounted (r2 VERDICT missing #1)."""
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    from .models.hf_weights import convert_u2_checkpoint
+
+    cfg, sd = _checkpoint_cfg_and_sd(args.hf_dir, args.num_chunks)
+    params = convert_u2_checkpoint(sd, cfg)
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "u2_config.json"), "w") as f:
+        f.write(cfg.to_json())
+    flat_count = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    with open(os.path.join(args.output, "u2_params.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, params)))
+    print(json.dumps({"params": flat_count,
+                      "source_tensors": len(sd),
+                      "output": args.output}))
+
+
+def cmd_verify_checkpoint(args):
+    """Greedy-parity gate for a converted checkpoint: run the framework
+    model and the checkpoint's own torch remote-code module on an identical
+    synthetic volume + prompt; compare teacher-forced logits and a greedy
+    continuation. Exit code 0 only on agreement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from .models.hf_weights import convert_u2_checkpoint
+    from .models.u2_model import U2CausalLM
+
+    cfg, sd = _checkpoint_cfg_and_sd(args.hf_dir, args.num_chunks)
+    params = convert_u2_checkpoint(sd, cfg)
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    d, h, w = cfg.vision.input_spatial
+    n_img = cfg.proj_out_num
+    s = n_img + 16
+    images = rng.normal(size=(1, cfg.num_chunks, d, h, w)).astype(
+        np.float32) * 0.5
+    ids = rng.integers(0, cfg.llm.vocab_size, (1, s)).astype(np.int32)
+    qids = rng.integers(0, cfg.llm.vocab_size, (1, 8)).astype(np.int32)
+
+    flax_logits, _, _ = model.apply(params, jnp.asarray(ids),
+                                    jnp.asarray(images), jnp.asarray(qids))
+    flax_logits = np.asarray(flax_logits, np.float32)
+
+    from transformers import AutoModelForCausalLM
+
+    tm = AutoModelForCausalLM.from_pretrained(
+        args.hf_dir, trust_remote_code=True,
+        torch_dtype=torch.float32).eval()
+    t_ids = torch.tensor(ids)
+    t_img = torch.tensor(images)
+    t_q = torch.tensor(qids)
+    with torch.no_grad():
+        ref = tm(input_ids=t_ids, images=t_img,
+                 question_ids=t_q).logits.numpy()
+    scale = max(1.0, float(np.abs(ref).max()))
+    max_err = float(np.abs(flax_logits - ref).max() / scale)
+
+    # greedy continuation: argmax-feed both stacks for n steps
+    n_new = args.greedy_tokens
+    ours, theirs = [], []
+    cur_f = ids.copy()
+    cur_t = t_ids.clone()
+    for _ in range(n_new):
+        lf, _, _ = model.apply(params, jnp.asarray(cur_f),
+                               jnp.asarray(images), jnp.asarray(qids))
+        nf = int(np.asarray(lf)[0, -1].argmax())
+        ours.append(nf)
+        cur_f = np.concatenate([cur_f, [[nf]]], axis=1).astype(np.int32)
+        with torch.no_grad():
+            lt = tm(input_ids=cur_t, images=t_img, question_ids=t_q).logits
+        nt = int(lt[0, -1].argmax())
+        theirs.append(nt)
+        cur_t = torch.cat([cur_t, torch.tensor([[nt]])], dim=1)
+    match = ours == theirs
+    verdict = {
+        "logits_max_scaled_err": round(max_err, 6),
+        "logits_ok": max_err <= args.tol,
+        "greedy_tokens_ours": ours,
+        "greedy_tokens_torch": theirs,
+        "greedy_match": match,
+        "ok": bool(match and max_err <= args.tol),
+    }
+    print(json.dumps(verdict))
+    if not verdict["ok"]:
+        sys.exit(1)
+
 
 def cmd_demo(args):
     """Interactive / one-shot report generation from a CT volume
@@ -552,6 +746,27 @@ def cmd_demo(args):
                if t not in (tokenizer.pad_token_id, tokenizer.eos_token_id)]
         return tokenizer.decode(out, skip_special_tokens=True)
 
+    if getattr(args, "attention", None):
+        # attention-map artifact (demo_show.ipynb equivalent): capture the
+        # μ²tokenizer first-layer maps and render them over the volume
+        from .eval.attention_viz import (capture_attention_maps,
+                                         render_attention_png)
+
+        _, q, _ = encode(args.question or "Describe the findings.")
+        maps = capture_attention_maps(model, params, image[None], q[None])
+        gp = cfg.projector.grid_post(cfg.vision.image_size,
+                                     cfg.vision.patch_size)
+        qtoks = None
+        if hasattr(tokenizer, "convert_ids_to_tokens"):
+            qtoks = tokenizer.convert_ids_to_tokens(
+                [int(i) for i in q if i != (tokenizer.pad_token_id or 0)])
+        render_attention_png(maps, image, args.attention,
+                             question_tokens=qtoks,
+                             grid_hw=(gp[0], gp[1] * gp[2]))
+        print(f"wrote {args.attention}", file=sys.stderr)
+        if not args.question:
+            return
+
     if args.question:
         print(answer(args.question))
         return
@@ -578,7 +793,8 @@ def cmd_serve(args):
     model = U2InferenceModel(
         args.checkpoint, tokenizer=_load_tokenizer(args.tokenizer),
         model_config=cfg, max_new_tokens=args.max_new_tokens,
-        do_sample=args.do_sample, top_p=args.top_p, speculative=spec)
+        do_sample=args.do_sample, top_p=args.top_p, speculative=spec,
+        weights=getattr(args, "weights", "bf16"))
     if getattr(args, "slots", 0) > 1:
         # continuous batching: concurrent requests share a slot pool
         from .models.slot_serving import EngineInference
@@ -817,6 +1033,9 @@ def build_parser():
     dm.add_argument("--max-new-tokens", type=int, default=256)
     dm.add_argument("--do-sample", action="store_true")
     dm.add_argument("--top-p", type=float, default=0.9)
+    dm.add_argument("--attention", default=None, metavar="OUT_PNG",
+                    help="render μ²tokenizer attention maps to this PNG "
+                         "(demo_show.ipynb equivalent)")
     dm.set_defaults(fn=cmd_demo)
 
     ev = sub.add_parser("eval")
@@ -832,6 +1051,39 @@ def build_parser():
     ev.add_argument("--max-new-tokens", type=int, default=768)
     ev.add_argument("--max-cases", type=int, default=100)
     ev.set_defaults(fn=cmd_eval)
+
+    em = sub.add_parser("eval-m3d")
+    _add_common(em)
+    em.add_argument("--task", choices=["rec", "reg", "seg", "refseg", "itr"],
+                    required=True)
+    em.add_argument("--tokenizer", required=True)
+    em.add_argument("--data-root", dest="data_root", required=True)
+    em.add_argument("--seg-data-path", dest="seg_data_path", default=None)
+    em.add_argument("--refseg-data-path", dest="refseg_data_path", default=None)
+    em.add_argument("--cap-data-path", dest="cap_data_path", default=None)
+    em.add_argument("--tag", default="0000")
+    em.add_argument("--checkpoint", default=None)
+    em.add_argument("--output", required=True)
+    em.add_argument("--max-length", type=int, default=512)
+    em.add_argument("--max-new-tokens", type=int, default=256)
+    em.add_argument("--max-cases", type=int, default=10**9)
+    em.set_defaults(fn=cmd_eval_m3d)
+
+    cc = sub.add_parser("convert-checkpoint",
+                        help="released HF μ² checkpoint -> framework params")
+    cc.add_argument("--hf-dir", dest="hf_dir", required=True)
+    cc.add_argument("--output", required=True)
+    cc.add_argument("--num-chunks", type=int, default=8)
+    cc.set_defaults(fn=cmd_convert_checkpoint)
+
+    vc = sub.add_parser("verify-checkpoint",
+                        help="greedy-parity gate vs the checkpoint's own "
+                             "torch remote code")
+    vc.add_argument("--hf-dir", dest="hf_dir", required=True)
+    vc.add_argument("--num-chunks", type=int, default=8)
+    vc.add_argument("--greedy-tokens", type=int, default=8)
+    vc.add_argument("--tol", type=float, default=5e-3)
+    vc.set_defaults(fn=cmd_verify_checkpoint)
 
     ep = sub.add_parser("eval-predictions")
     ep.add_argument("--predictions", required=True)
@@ -856,6 +1108,10 @@ def build_parser():
     sv.add_argument("--speculative", action="store_true",
                     help="n-gram-drafted decode (greedy: opt-in on the "
                          "slot engine; exact tokens either way)")
+    sv.add_argument("--weights", choices=["bf16", "int8", "int4"],
+                    default="bf16",
+                    help="serving weight precision (the online_demo.py "
+                         "bf16/8-bit/4-bit load toggles)")
     sv.set_defaults(fn=cmd_serve)
 
     sl = sub.add_parser("serve-llm")

@@ -360,6 +360,7 @@ def u2_config_from_hf(hf_config, num_chunks: int = 8) -> U2ModelConfig:
         attn_type=attn_type,
         enable_diffts=bool(get("enable_diffts", False)),
         enable_dmtp=bool(get("enable_dmtp", False)),
+        max_seq_len=int(get("u2t_max_seq_len", 512) or 512),
     )
     return U2ModelConfig(vision=vision, projector=projector, u2t=u2t,
                          llm=llm_config_from_hf(hf_config),
