@@ -1,0 +1,200 @@
+"""End-to-end DPO-data pipeline bench: pred_then_green reports/min/chip.
+
+The reference's actual bottleneck is not single greedy decoding but the
+GREEN-scored DPO data pipeline (green_refactored/pred_then_green.py): per
+case, 8 sampled predictions (top-p 0.9, 768 new tokens, lu2_model.py:63)
+followed by judge scoring of each prediction (GREEN-RadPhi2-class LLM,
+~600-token judgments at 2048-token prompts, green.py:96-105). This tool
+measures that pipeline on one chip with the serving configuration:
+
+  stage 1 (predict): μ²Qwen3-1.7B int8, 8 samples/case as one fused batch
+    of cases×8 rows, nucleus sampling through the bucketed top-p warp —
+    optionally speculative (spec sampling is exact-distribution; its
+    acceptance with random weights is ~1, so the default measures the
+    plain sampled path and reports the speculative crossover separately).
+  stage 2 (judge): ~2.7B judge decoder (GREEN-RadPhi2 geometry), greedy
+    600-token judgments with n-gram speculative decoding (judge outputs
+    quote report sentences from the prompt — high-acceptance content),
+    batch = all predictions.
+
+Prints one JSON line {cases_per_min, predict_s, judge_s, ...}. Throughput
+is weight-value independent (same reasoning as bench.py); judge
+speculative acceptance is content-dependent and measured in forced-content
+mode over scripted judgment text that quotes the embedded report (the
+structure real GREEN outputs have).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CASES = int(os.environ.get("PG_CASES", "8"))
+N_SAMPLES = int(os.environ.get("PG_SAMPLES", "8"))
+PRED_TOKENS = int(os.environ.get("PG_PRED_TOKENS", "768"))
+JUDGE_TOKENS = int(os.environ.get("PG_JUDGE_TOKENS", "600"))
+JUDGE_PROMPT = int(os.environ.get("PG_JUDGE_PROMPT", "2048"))
+JUDGE_BATCH = int(os.environ.get("PG_JUDGE_BATCH", "16"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from u2tokenizer_tpu.config import (GenerationConfig, LLMConfig,
+                                        U2ModelConfig)
+    from u2tokenizer_tpu.data.synthetic_reports import report_token_scripts
+    from u2tokenizer_tpu.models.generate import make_multimodal_generate_fn
+    from u2tokenizer_tpu.models.llm.decoder import CausalLM
+    from u2tokenizer_tpu.models.quantize import (cast_for_inference,
+                                                 quantize_llm_weights,
+                                                 quantized_llm_config)
+    from u2tokenizer_tpu.models.speculative import make_spec_generate_fn
+    from u2tokenizer_tpu.models.u2_model import U2CausalLM
+
+    rng = jax.random.PRNGKey(0)
+
+    # ---------------- stage 1: 8-sample prediction ----------------
+    cfg = U2ModelConfig()
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16)
+    d, h, w = cfg.vision.input_spatial
+    b_pred = CASES * N_SAMPLES
+    # each case's volume encoded ONCE, predictions fan out over samples —
+    # the reference re-encodes per sample (pred_then_green.py:77); vision
+    # reuse is a framework win we measure honestly by encoding CASES
+    # volumes and tiling the embeddings.
+    images = jax.random.normal(rng, (CASES, cfg.num_chunks, d, h, w),
+                               jnp.bfloat16)
+    input_ids = jnp.zeros((b_pred, 1024), jnp.int32)
+    question_ids = jnp.ones((b_pred, 64), jnp.int32)
+    prompt_len = jnp.full((b_pred,), 1024, jnp.int32)
+
+    log(f"stage1: init 1.7B int8 ({CASES} cases x {N_SAMPLES} samples)")
+    params = jax.jit(lambda r: model.init(
+        r, input_ids[:1], images[:1], question_ids[:1]))(rng)
+    # donate through the staging jits: init fp32 (8.6 GB) + bf16 cast
+    # + int8 copies otherwise coexist and can OOM the 16 GB chip
+    params = jax.jit(cast_for_inference, donate_argnums=0)(params)
+    params = jax.jit(quantize_llm_weights, donate_argnums=0)(params)
+    model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
+    np.asarray(jax.tree_util.tree_leaves(params)[0])
+
+    gen = GenerationConfig(max_new_tokens=PRED_TOKENS, do_sample=True,
+                           top_p=0.9, eos_token_id=-2, pad_token_id=0)
+
+    def predict(params, input_ids, images, question_ids, prompt_len, rng):
+        # encode CASES volumes once, tile to CASES*N_SAMPLES rows
+        from u2tokenizer_tpu.models.generate import (_microbatched_embeds,
+                                                     make_generate_fn)
+
+        embeds_c = _microbatched_embeds(
+            model, params, input_ids[:CASES], images, question_ids[:CASES],
+            128)
+        embeds = jnp.repeat(embeds_c, N_SAMPLES, axis=0)
+        return make_generate_fn(model, gen, cache_dtype="int8")(
+            params, embeds, prompt_len, rng)
+
+    predict = jax.jit(predict)
+    log("stage1: compiling sampled generate (bucketed top-p warp)")
+    t0 = time.time()
+    np.asarray(predict(params, input_ids, images, question_ids, prompt_len,
+                       jax.random.PRNGKey(1)))
+    log(f"stage1 compile+run {time.time() - t0:.1f}s")
+    t0 = time.time()
+    toks = predict(params, input_ids, images, question_ids, prompt_len,
+                   jax.random.PRNGKey(2))
+    np.asarray(toks)
+    predict_s = time.time() - t0
+    log(f"stage1: {predict_s:.1f}s for {b_pred} sampled predictions")
+    del params
+    del images
+
+    # ---------------- stage 2: GREEN judging ----------------
+    # GREEN-RadPhi2 geometry: the framework's phi-2 2.7B preset
+    jcfg = LLMConfig.phi2()
+    judge = CausalLM(jcfg, dtype=jnp.bfloat16)
+    jb = JUDGE_BATCH
+    j_ids = jnp.zeros((jb, JUDGE_PROMPT), jnp.int32)
+    j_len = jnp.full((jb,), JUDGE_PROMPT, jnp.int32)
+    log("stage2: init 2.7B judge int8")
+    jparams = jax.jit(lambda r: judge.init(
+        r, jnp.zeros((1, 8, jcfg.hidden_size), jnp.bfloat16),
+        jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 1, 8, 8), bool)))(rng)
+    jparams = jax.jit(cast_for_inference, donate_argnums=0)(jparams)
+    jparams = jax.jit(quantize_llm_weights, donate_argnums=0)(jparams)
+    judge = CausalLM(quantized_llm_config(jcfg), dtype=jnp.bfloat16)
+    np.asarray(jax.tree_util.tree_leaves(jparams)[0])
+
+    jgen = GenerationConfig(max_new_tokens=JUDGE_TOKENS, do_sample=False,
+                            eos_token_id=-2, pad_token_id=0)
+    # judge outputs quote the embedded reports: forced-content scripts that
+    # interleave prompt n-grams (realistic high-acceptance judge text)
+    script = report_token_scripts(jb, JUDGE_TOKENS + 8, jcfg.vocab_size,
+                                  seed=11)
+    prompt_np = np.zeros((jb, JUDGE_PROMPT), np.int32)
+    # embed the quoted report inside the judge prompt (as GREEN's prompt
+    # does) so the drafter has real history to match
+    prompt_np[:, -JUDGE_TOKENS:] = script[:, :JUDGE_TOKENS]
+    j_ids = jnp.asarray(prompt_np)
+
+    jfn = make_spec_generate_fn(judge, jgen, cache_dtype="int8",
+                                return_stats=True, forced_content=True)
+
+    def judge_step(params, ids, lens, rng, script):
+        embeds = judge.apply(params, ids, method="embed_tokens")
+        return jfn(params, embeds, ids, lens, rng, script)
+
+    judge_step = jax.jit(judge_step)
+    log("stage2: compiling judge speculative decode")
+    t0 = time.time()
+    toks, steps = judge_step(jparams, j_ids, j_len, jax.random.PRNGKey(3),
+                             jnp.asarray(script))
+    np.asarray(toks)
+    log(f"stage2 compile+run {time.time() - t0:.1f}s")
+    n_batches = (b_pred + jb - 1) // jb
+    t0 = time.time()
+    for i in range(n_batches):
+        toks, steps = judge_step(jparams, j_ids, j_len,
+                                 jax.random.PRNGKey(4 + i),
+                                 jnp.asarray(script))
+        np.asarray(toks)
+    judge_s = time.time() - t0
+    steps_i = int(np.asarray(steps))
+    accept = JUDGE_TOKENS / max(steps_i, 1)
+    log(f"stage2: {judge_s:.1f}s for {b_pred} judgments "
+        f"({accept:.2f} accepted/step on quoted-report content)")
+
+    total_s = predict_s + judge_s
+    cases_per_min = CASES * 60.0 / total_s
+    print(json.dumps({
+        "metric": "pred_then_green_cases_per_min",
+        "value": round(cases_per_min, 3),
+        "unit": "cases/min/chip",
+        "detail": {
+            "cases": CASES, "samples_per_case": N_SAMPLES,
+            "predict_seconds": round(predict_s, 1),
+            "judge_seconds": round(judge_s, 1),
+            "predict_tokens": PRED_TOKENS, "judge_tokens": JUDGE_TOKENS,
+            "judge_model": "phi2-2.7B-geometry int8 (GREEN-RadPhi2 class)",
+            "judge_accept_per_step": round(accept, 2),
+            "policy": "u2-qwen3-1.7b int8, nucleus top-p 0.9 via the "
+                      "bucketed warp, vision encoded once per case",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GenerationConfig
-from ..ops.sampling import sample, top_p_filter
+from ..ops.sampling import nucleus_accept_residual, sample, top_p_filter
 from .llm.decoder import KVCache
 from .u2_model import causal_padding_mask
 
@@ -253,31 +253,70 @@ def make_spec_generate_fn(
                 # from the full warped distribution there.
                 d_per_pos = jnp.concatenate(
                     [f[:, 1:], jnp.full((b, 1), -1, jnp.int32)], axis=1)
-                pos_keys = jax.random.split(k_res, kb)
 
-                def per_pos(args):
-                    j, key_j = args               # position index, key
-                    # slice (no transposed 300 MB logits copy at B64/V152k)
-                    w_j = jax.lax.dynamic_index_in_dim(
-                        logits, j, axis=1, keepdims=False).astype(jnp.float32)
-                    d_j = jax.lax.dynamic_index_in_dim(
-                        d_per_pos, j, axis=1, keepdims=False)
-                    if gen.temperature != 1.0:
-                        w_j = w_j / gen.temperature
-                    if gen.top_p < 1.0:
-                        w_j = top_p_filter(w_j, gen.top_p)
-                    p_j = jax.nn.softmax(w_j, axis=-1)
-                    p_d = jnp.take_along_axis(
-                        p_j, jnp.clip(d_j, 0)[:, None], axis=-1)[:, 0]
-                    # residual of the point-mass draft: p with d removed
-                    masked = w_j.at[rows, jnp.clip(d_j, 0)].set(-jnp.inf)
-                    w_res = jnp.where((d_j >= 0)[:, None], masked, w_j)
-                    fresh_j = jax.random.categorical(
-                        key_j, w_res, axis=-1).astype(jnp.int32)
-                    return p_d, fresh_j
+                if gen.top_p < 1.0:
+                    # k-space accept + residual (ops/sampling.
+                    # nucleus_accept_residual): the only full-vocab work is
+                    # one top_k + logsumexp per chunk, so positions are
+                    # processed in CHUNKS rather than one lax.map step each
+                    # (per-position dispatch dominated the verify step).
+                    # Chunk size bounds the (rows, V) fp32 transients to
+                    # ~256 rows — at B64/V152k that is ~155 MB, far below
+                    # the all-position fp32 softmax spike that crashed the
+                    # old dense path.
+                    budget = max(1, min(kb, 256 // b))
+                    cp = max(d for d in range(1, kb + 1)
+                             if kb % d == 0 and d <= budget)
+                    n_chunks = kb // cp
+                    chunk_keys = jax.random.split(k_res, n_chunks)
 
-                p_draft_t, fresh_t = jax.lax.map(
-                    per_pos, (jnp.arange(kb), pos_keys))
+                    def per_chunk(args):
+                        ci, key_c = args
+                        w_c = jax.lax.dynamic_slice_in_dim(
+                            logits, ci * cp, cp, axis=1)     # (B, cp, V)
+                        d_c = jax.lax.dynamic_slice_in_dim(
+                            d_per_pos, ci * cp, cp, axis=1)  # (B, cp)
+                        w_c = w_c.reshape(b * cp, -1)
+                        if gen.temperature != 1.0:
+                            w_c = w_c / gen.temperature
+                        p_c, fresh_c = nucleus_accept_residual(
+                            key_c, w_c, d_c.reshape(-1), gen.top_p)
+                        return (p_c.reshape(b, cp).T,
+                                fresh_c.reshape(b, cp).T)
+
+                    if n_chunks == 1:
+                        p_draft_t, fresh_t = per_chunk(
+                            (jnp.int32(0), chunk_keys[0]))
+                    else:
+                        p_draft_t, fresh_t = jax.lax.map(
+                            per_chunk, (jnp.arange(n_chunks), chunk_keys))
+                        p_draft_t = p_draft_t.reshape(kb, b)
+                        fresh_t = fresh_t.reshape(kb, b)
+                else:
+                    pos_keys = jax.random.split(k_res, kb)
+
+                    def per_pos(args):
+                        j, key_j = args           # position index, key
+                        # slice (no transposed 300 MB logits copy at B64)
+                        w_j = jax.lax.dynamic_index_in_dim(
+                            logits, j, axis=1,
+                            keepdims=False).astype(jnp.float32)
+                        d_j = jax.lax.dynamic_index_in_dim(
+                            d_per_pos, j, axis=1, keepdims=False)
+                        if gen.temperature != 1.0:
+                            w_j = w_j / gen.temperature
+                        p_j = jax.nn.softmax(w_j, axis=-1)
+                        p_d = jnp.take_along_axis(
+                            p_j, jnp.clip(d_j, 0)[:, None], axis=-1)[:, 0]
+                        # residual of the point-mass draft: p minus d
+                        masked = w_j.at[rows, jnp.clip(d_j, 0)].set(-jnp.inf)
+                        w_res = jnp.where((d_j >= 0)[:, None], masked, w_j)
+                        fresh_j = jax.random.categorical(
+                            key_j, w_res, axis=-1).astype(jnp.int32)
+                        return p_d, fresh_j
+
+                    p_draft_t, fresh_t = jax.lax.map(
+                        per_pos, (jnp.arange(kb), pos_keys))
                 p_draft = p_draft_t.T[:, :-1]                  # (B, kb-1)
                 fresh = fresh_t.T                              # (B, kb)
                 u = jax.random.uniform(k_u, p_draft.shape)

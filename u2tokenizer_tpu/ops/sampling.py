@@ -79,5 +79,101 @@ def sample(
     if temperature != 1.0:
         logits = logits / temperature
     if top_p < 1.0:
+        if logits.shape[-1] > 1024:
+            return nucleus_sample(rng, logits, top_p)
         logits = top_p_filter(logits, top_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# k-space nucleus sampling
+# ---------------------------------------------------------------------------
+#
+# For large vocabularies the nucleus (top_p=0.9 on a peaked LM) almost
+# always lives inside the top-k prefix, so sampling and the speculative
+# accept/residual computation can run entirely in k-space after one
+# O(V log k) lax.top_k — no full-vocab sort, softmax, or categorical. A
+# lax.cond falls back to the dense path when any row's nucleus spills past
+# k; results are exact either way.
+
+
+def _topk_nucleus(logits: jax.Array, top_p: float, k: int):
+    """(topv, topi, keep, lse_n, contained): descending top-k values/ids,
+    the in-prefix nucleus mask, the nucleus logsumexp, and whether every
+    row's nucleus is contained in the prefix."""
+    k = min(k, logits.shape[-1])
+    lf = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
+    topv, topi = jax.lax.top_k(lf, k)
+    probs = jnp.exp(topv - lse)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p  # keep[0] always True
+    contained = jnp.all(cum[:, -1] >= top_p)
+    masked = jnp.where(keep, probs, 0.0)
+    lse_n = jnp.log(masked.sum(-1, keepdims=True)) + lse
+    return topv, topi, keep, lse_n, contained
+
+
+def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float,
+                   k: int = 128) -> jax.Array:
+    """Exact top-p sampling via the k-space fast path."""
+    topv, topi, keep, _, contained = _topk_nucleus(logits, top_p, k)
+
+    def fast(_):
+        kl = jnp.where(keep, topv, -jnp.inf)
+        j = jax.random.categorical(rng, kl, axis=-1)
+        return jnp.take_along_axis(topi, j[:, None], axis=-1)[:, 0]
+
+    def slow(_):
+        return jax.random.categorical(
+            rng, top_p_filter(logits, top_p), axis=-1)
+
+    return jax.lax.cond(contained, fast, slow, None).astype(jnp.int32)
+
+
+def nucleus_accept_residual(rng: jax.Array, logits: jax.Array,
+                            draft: jax.Array, top_p: float,
+                            k: int = 128):
+    """Speculative-sampling step in k-space: returns (p_draft, fresh).
+
+    p_draft: the draft token's probability under the top-p-warped target
+    distribution (0 outside the nucleus; used as the acceptance
+    probability for a point-mass draft). fresh: an exact draw from the
+    warped distribution with the draft's mass removed (the rejection-
+    sampling residual; the full warped distribution when draft < 0).
+    ``logits`` must already be temperature-scaled.
+    """
+    b = logits.shape[0]
+    rows = jnp.arange(b)
+    topv, topi, keep, lse_n, contained = _topk_nucleus(logits, top_p, k)
+    d_safe = jnp.clip(draft, 0)
+    l_d = logits.astype(jnp.float32)[rows, d_safe]
+
+    def fast(key):
+        # nucleus membership of the draft: it must match a KEPT prefix slot
+        is_member = ((topi == d_safe[:, None]) & keep).any(-1)
+        p_d = jnp.where(is_member & (draft >= 0),
+                        jnp.exp(l_d - lse_n[:, 0]), 0.0)
+        kl = jnp.where(keep, topv, -jnp.inf)
+        drop = (topi == d_safe[:, None]) & (draft >= 0)[:, None]
+        kl = jnp.where(drop, -jnp.inf, kl)
+        # a draft covering the whole nucleus leaves an empty residual; the
+        # caller never uses fresh at that position (the draft was accepted
+        # with probability 1), so fall back to the unmasked nucleus
+        empty = jnp.all(~jnp.isfinite(kl), axis=-1, keepdims=True)
+        kl = jnp.where(empty, jnp.where(keep, topv, -jnp.inf), kl)
+        j = jax.random.categorical(key, kl, axis=-1)
+        fresh = jnp.take_along_axis(topi, j[:, None], axis=-1)[:, 0]
+        return p_d, fresh
+
+    def slow(key):
+        w = top_p_filter(logits.astype(jnp.float32), top_p)
+        p = jax.nn.softmax(w, axis=-1)
+        p_d = jnp.where(draft >= 0, p[rows, d_safe], 0.0)
+        masked = w.at[rows, d_safe].set(-jnp.inf)
+        w_res = jnp.where((draft >= 0)[:, None], masked, w)
+        fresh = jax.random.categorical(key, w_res, axis=-1)
+        return p_d, fresh
+
+    p_d, fresh = jax.lax.cond(contained, fast, slow, rng)
+    return p_d, fresh.astype(jnp.int32)
