@@ -135,6 +135,64 @@ def test_nucleus_sample_distribution_matches_dense():
         assert abs(f1 - f2) < 0.05, (tok, f1, f2)
 
 
+def test_nucleus_membership_bounds_bracket_exact_p():
+    """member matches top_p_filter's kept set exactly (incl. threshold
+    ties) and p_lo <= p_exact <= p_hi for every member draft."""
+    from u2tokenizer_tpu.ops.sampling import (nucleus_membership_bounds,
+                                              nucleus_p_draft)
+
+    rng = np.random.default_rng(11)
+    v = 2048
+    logits = rng.normal(0, 2.0, (64, v)).astype(np.float32)
+    # inject exact ties around likely thresholds
+    logits[:, 100:110] = logits[:, 100][:, None]
+    draft = rng.integers(0, v, 64).astype(np.int32)
+    draft[:4] = np.arange(100, 104)  # tied tokens
+    draft[4] = -1
+    lj = jnp.asarray(logits)
+    dj = jnp.asarray(draft)
+    member, p_lo, p_hi = nucleus_membership_bounds(lj, dj, 0.9)
+    filt = np.asarray(_reference_filter(lj, 0.9))
+    kept = np.isfinite(filt)
+    expected_member = np.array(
+        [d >= 0 and kept[i, d] for i, d in enumerate(draft)])
+    np.testing.assert_array_equal(np.asarray(member), expected_member)
+    p = jax.nn.softmax(jnp.asarray(filt), axis=-1)
+    p_exact = np.asarray(
+        [float(p[i, d]) if d >= 0 and kept[i, d] else 0.0
+         for i, d in enumerate(draft)])
+    lo, hi = np.asarray(p_lo), np.asarray(p_hi)
+    assert np.all(lo <= p_exact * (1 + 1e-6) + 1e-9)
+    assert np.all(p_exact <= hi * (1 + 1e-6) + 1e-9)
+    # the band is narrow: hi <= lo / top_p
+    assert np.all(hi <= lo / 0.9 + 1e-9)
+    # nucleus_p_draft agrees with the dense computation
+    np.testing.assert_allclose(
+        np.asarray(nucleus_p_draft(lj, dj, 0.9)), p_exact,
+        rtol=1e-5, atol=1e-8)
+
+
+def test_topk_nucleus_threshold_ties_match_dense():
+    """k-space nucleus must keep ALL tokens tied at the threshold (the
+    dense filter's >= thr semantics), or route the row to the dense
+    fallback when ties spill past k."""
+    from u2tokenizer_tpu.ops.sampling import nucleus_sample
+
+    v = 4096
+    logits = np.full((1, v), -10.0, np.float32)
+    logits[0, :3] = [5.0, 4.0, 4.0]  # tie at the threshold
+    lj = jnp.asarray(logits)
+    # with top_p such that the nucleus boundary lands on the tie, both
+    # tied tokens must be sampleable
+    keys = jax.random.split(jax.random.PRNGKey(3), 600)
+    draws = np.asarray(jax.vmap(
+        lambda k: nucleus_sample(k, lj, 0.8)[0])(keys))
+    dense = np.asarray(jax.vmap(
+        lambda k: jax.random.categorical(
+            k, _reference_filter(lj, 0.8), axis=-1)[0])(keys))
+    assert set(draws) == set(dense)
+
+
 def test_sample_routes_large_vocab_through_kspace():
     """sample() on a large vocab must stay exact: draws land in the
     nucleus and greedy is untouched."""

@@ -88,6 +88,34 @@ def test_forced_content_emits_script_and_counts_steps(tiny_lm):
     assert int(np.asarray(steps)) == sim_steps
 
 
+def test_forced_content_sampled_emits_script_and_counts_steps(tiny_lm):
+    """forced_content with do_sample=True: emitted tokens are the script,
+    acceptance is content-driven (draft==script), and the step count equals
+    the drafter-exact simulation — the sampled-serving cost model with
+    controlled content."""
+    cfg, model, params = tiny_lm
+    b, s, max_new = 1, 12, 48
+    script = report_token_scripts(b, max_new + 8, cfg.vocab_size, seed=3)
+    prompt = np.tile(np.arange(1, s + 1, dtype=np.int32), (b, 1))
+    gen = GenerationConfig(max_new_tokens=max_new, do_sample=True,
+                           top_p=0.9, temperature=0.8,
+                           eos_token_id=-2, pad_token_id=0)
+    gen_fn = make_spec_generate_fn(model, gen, cache_dtype=jnp.float32,
+                                   return_stats=True, forced_content=True)
+    embeds = model.apply(params, jnp.asarray(prompt), method="embed_tokens")
+    toks, steps = gen_fn(params, embeds, jnp.asarray(prompt),
+                         jnp.full((b,), s, jnp.int32), jax.random.PRNGKey(0),
+                         jnp.asarray(script))
+    np.testing.assert_array_equal(np.asarray(toks), script[:, :max_new])
+
+    from u2tokenizer_tpu.data.synthetic_reports import (
+        ngram_acceptance_estimate)
+    sim_acc = ngram_acceptance_estimate(script[:, :max_new], block_len=8,
+                                        prompt=prompt)
+    sim_steps = round((max_new - 1) / sim_acc)
+    assert int(np.asarray(steps)) == sim_steps
+
+
 def test_forced_content_multimodal_wrapper():
     from u2tokenizer_tpu.config import U2ModelConfig
     from u2tokenizer_tpu.models.speculative import (

@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GenerationConfig
-from ..ops.sampling import nucleus_accept_residual, sample, top_p_filter
+from ..ops.sampling import (nucleus_accept_residual,
+                            nucleus_membership_bounds, nucleus_p_draft,
+                            sample)
 from .llm.decoder import KVCache
 from .u2_model import causal_padding_mask
 
@@ -97,18 +99,23 @@ def make_spec_generate_fn(
     draft). The OUTPUT DISTRIBUTION equals plain sampling; individual
     trajectories differ because randomness is consumed differently.
 
-    ``forced_content=True`` (greedy only): generate takes a trailing
-    ``script`` argument (B, >= max_new + block_len) and the EMITTED tokens
-    come from the script instead of argmax — every forward, cache update,
+    ``forced_content=True``: generate takes a trailing ``script`` argument
+    (B, >= max_new + block_len) and the EMITTED tokens come from the script
+    instead of argmax / the sampled draw — every forward, cache update,
     logits computation and the n-gram drafting over the (scripted) history
     is unchanged, so wall-clock equals real serving whose model emits
     exactly that content. This is the content-controlled benchmark mode:
     random-weight greedy output degenerates into token cycles that flatter
     n-gram acceptance, so honest speculative numbers are measured by
     scripting realistic report text through the identical compute path.
+    With ``do_sample=True`` the acceptance test becomes draft==script (a
+    model whose sampled output is the script accepts exactly those drafts)
+    while the full warp/accept/residual computation stays in the compiled
+    program: the overrides are ``where(script >= 0, ...)`` selects whose
+    predicate is a runtime input, so XLA cannot eliminate the sampling
+    arithmetic — both select branches are computed. Script tokens must be
+    >= 0 (real vocab ids).
     """
-    assert not (forced_content and gen.do_sample), \
-        "forced_content benchmarks the greedy path"
     llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
     kb = block_len
     max_new = gen.max_new_tokens
@@ -165,7 +172,9 @@ def make_spec_generate_fn(
         tok0 = sample(sub, last, do_sample=gen.do_sample,
                       temperature=gen.temperature, top_p=gen.top_p)
         if forced_content:
-            tok0 = script[:, 0].astype(jnp.int32)
+            # where-on-runtime-input keeps the real sampling of tok0 live
+            s0 = script[:, 0].astype(jnp.int32)
+            tok0 = jnp.where(s0 >= 0, s0, tok0)
 
         # token history for drafting: prompt at [0, prompt_len), -1 gap,
         # generated token j at s + j
@@ -229,12 +238,15 @@ def make_spec_generate_fn(
                 g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, kb)
                 if forced_content:
                     # scripted continuation: position j's model output is
-                    # the script token at emitted index n_emit + j (logits
-                    # above are still fully computed — identical FLOPs)
+                    # the script token at emitted index n_emit + j. The
+                    # where-on-script>=0 select (always true at runtime,
+                    # unprovable at compile time) keeps the real argmax in
+                    # the compiled program — identical FLOPs + HBM traffic.
                     idxs = n_emit[:, None] + koff[None, :]
-                    g = jnp.take_along_axis(
+                    s_tok = jnp.take_along_axis(
                         script.astype(jnp.int32),
                         jnp.clip(idxs, 0, script.shape[1] - 1), axis=1)
+                    g = jnp.where(s_tok >= 0, s_tok, g)
                 # -- longest accepted prefix: f[j] must equal g[j-1] --
                 match = f[:, 1:] == g[:, :-1]                  # (B, kb-1)
                 chain = jnp.cumprod(match.astype(jnp.int32), axis=1)
@@ -243,88 +255,134 @@ def make_spec_generate_fn(
                 # -- rejection sampling against the warped target dists --
                 # position j's logits govern emitted index n_w + 1 + j;
                 # draft d_{j+1} = f[:, j+1] is accepted with prob p_j(d).
-                # Positions are processed one at a time via lax.map: the
-                # top-p sort/softmax temps are (B, V) fp32 and warping all
-                # kb positions at once transiently holds kb of each — at
-                # B64/V152k that spike hard-crashed the TPU worker.
+                #
+                # Bounds-first design: draft membership and two-sided
+                # acceptance bounds come from two fused reduction passes
+                # over the vocab (nucleus_membership_bounds — no sort or
+                # top_k), so certain accepts/rejects resolve immediately;
+                # the exact warped normalizer (chunked k-space top_k over
+                # all draft positions) runs under a lax.cond only when a
+                # uniform lands in the narrow uncertainty band (width
+                # <= p_full*(1/top_p - 1) per position). The rejection-
+                # residual draw is only ever EMITTED at the boundary
+                # position (the first rejection), so the accept+residual
+                # warp runs on just (B, V) there — not (B*kb, V).
                 rng, k_u, k_res = jax.random.split(rng, 3)
                 # drafts aligned per position; the last position has none
                 # (sentinel -1): after kb-1 accepts the fresh token comes
                 # from the full warped distribution there.
                 d_per_pos = jnp.concatenate(
                     [f[:, 1:], jnp.full((b, 1), -1, jnp.int32)], axis=1)
-
+                w_all = logits if gen.temperature == 1.0 else (
+                    logits / gen.temperature)
+                w_pos = w_all[:, :-1, :].reshape(b * (kb - 1), -1)
+                d_flat = f[:, 1:].reshape(-1)
+                u = jax.random.uniform(k_u, (b, kb - 1))
                 if gen.top_p < 1.0:
-                    # k-space accept + residual (ops/sampling.
-                    # nucleus_accept_residual): the only full-vocab work is
-                    # one top_k + logsumexp per chunk, so positions are
-                    # processed in CHUNKS rather than one lax.map step each
-                    # (per-position dispatch dominated the verify step).
-                    # Chunk size bounds the (rows, V) fp32 transients to
-                    # ~256 rows — at B64/V152k that is ~155 MB, far below
-                    # the all-position fp32 softmax spike that crashed the
-                    # old dense path.
-                    budget = max(1, min(kb, 256 // b))
-                    cp = max(d for d in range(1, kb + 1)
-                             if kb % d == 0 and d <= budget)
-                    n_chunks = kb // cp
-                    chunk_keys = jax.random.split(k_res, n_chunks)
+                    _, p_lo, p_hi = nucleus_membership_bounds(
+                        w_pos, d_flat, gen.top_p)
+                    p_lo = p_lo.reshape(b, kb - 1)
+                    p_hi = p_hi.reshape(b, kb - 1)
+                    uncertain = (u >= p_lo) & (u < p_hi)
+                    unc_flat = uncertain.reshape(-1)
+                    n_unc = jnp.sum(unc_flat.astype(jnp.int32))
+                    # Fixed-budget exact resolution: the band is narrow but
+                    # ANY of b*(kb-1) slots landing in it triggers exact
+                    # resolution — near-certain per step at moderate
+                    # peakedness — so the common case must be cheap. Gather
+                    # up to m uncertain slots (expected count ~2-4; top_k
+                    # on the flags lists set indices first), warp just
+                    # those rows, scatter back. Overflow falls back to the
+                    # all-positions chunked path.
+                    m = min(max(b, 8), b * (kb - 1))
 
-                    def per_chunk(args):
-                        ci, key_c = args
-                        w_c = jax.lax.dynamic_slice_in_dim(
-                            logits, ci * cp, cp, axis=1)     # (B, cp, V)
-                        d_c = jax.lax.dynamic_slice_in_dim(
-                            d_per_pos, ci * cp, cp, axis=1)  # (B, cp)
-                        w_c = w_c.reshape(b * cp, -1)
-                        if gen.temperature != 1.0:
-                            w_c = w_c / gen.temperature
-                        p_c, fresh_c = nucleus_accept_residual(
-                            key_c, w_c, d_c.reshape(-1), gen.top_p)
-                        return (p_c.reshape(b, cp).T,
-                                fresh_c.reshape(b, cp).T)
+                    def exact_small(_):
+                        flags, sel = jax.lax.top_k(
+                            unc_flat.astype(jnp.float32), m)
+                        p_sel = nucleus_p_draft(
+                            w_pos[sel], d_flat[sel], gen.top_p)
+                        p = jnp.zeros((b * (kb - 1),), jnp.float32)
+                        p = p.at[sel].set(jnp.where(flags > 0, p_sel, 0.0))
+                        return p.reshape(b, kb - 1)
 
-                    if n_chunks == 1:
-                        p_draft_t, fresh_t = per_chunk(
-                            (jnp.int32(0), chunk_keys[0]))
-                    else:
-                        p_draft_t, fresh_t = jax.lax.map(
-                            per_chunk, (jnp.arange(n_chunks), chunk_keys))
-                        p_draft_t = p_draft_t.reshape(kb, b)
-                        fresh_t = fresh_t.reshape(kb, b)
+                    def exact(_):
+                        # chunked exact p over all draft positions; chunk
+                        # rows bounded ~256 to cap the fp32/top_k
+                        # transients that crashed the old dense path
+                        budget = max(1, min(kb - 1, 256 // b))
+                        cp = max(dv for dv in range(1, kb)
+                                 if (kb - 1) % dv == 0 and dv <= budget)
+                        nch = (kb - 1) // cp
+
+                        def chunk(ci):
+                            w_c = jax.lax.dynamic_slice_in_dim(
+                                w_all, ci * cp, cp, axis=1)
+                            d_c = jax.lax.dynamic_slice_in_dim(
+                                d_per_pos, ci * cp, cp, axis=1)
+                            return nucleus_p_draft(
+                                w_c.reshape(b * cp, -1),
+                                d_c.reshape(-1), gen.top_p,
+                            ).reshape(b, cp)
+
+                        if nch == 1:
+                            return chunk(jnp.int32(0))
+                        return jnp.moveaxis(
+                            jax.lax.map(chunk, jnp.arange(nch)),
+                            0, 1).reshape(b, kb - 1)
+
+                    p_exact = jax.lax.cond(
+                        n_unc > 0,
+                        lambda _: jax.lax.cond(
+                            n_unc <= m, exact_small, exact, None),
+                        lambda _: jnp.zeros((b, kb - 1), jnp.float32),
+                        None)
+                    accept = jnp.where(uncertain, u < p_exact, u < p_lo)
                 else:
-                    pos_keys = jax.random.split(k_res, kb)
-
-                    def per_pos(args):
-                        j, key_j = args           # position index, key
-                        # slice (no transposed 300 MB logits copy at B64)
-                        w_j = jax.lax.dynamic_index_in_dim(
-                            logits, j, axis=1,
-                            keepdims=False).astype(jnp.float32)
-                        d_j = jax.lax.dynamic_index_in_dim(
-                            d_per_pos, j, axis=1, keepdims=False)
-                        if gen.temperature != 1.0:
-                            w_j = w_j / gen.temperature
-                        p_j = jax.nn.softmax(w_j, axis=-1)
-                        p_d = jnp.take_along_axis(
-                            p_j, jnp.clip(d_j, 0)[:, None], axis=-1)[:, 0]
-                        # residual of the point-mass draft: p minus d
-                        masked = w_j.at[rows, jnp.clip(d_j, 0)].set(-jnp.inf)
-                        w_res = jnp.where((d_j >= 0)[:, None], masked, w_j)
-                        fresh_j = jax.random.categorical(
-                            key_j, w_res, axis=-1).astype(jnp.int32)
-                        return p_d, fresh_j
-
-                    p_draft_t, fresh_t = jax.lax.map(
-                        per_pos, (jnp.arange(kb), pos_keys))
-                p_draft = p_draft_t.T[:, :-1]                  # (B, kb-1)
-                fresh = fresh_t.T                              # (B, kb)
-                u = jax.random.uniform(k_u, p_draft.shape)
-                chain = jnp.cumprod((u < p_draft).astype(jnp.int32), axis=1)
+                    # pure temperature sampling: p is the full softmax —
+                    # exact from the logsumexp pass alone
+                    wf = w_pos.astype(jnp.float32)
+                    lse = jax.nn.logsumexp(wf, axis=-1)
+                    l_d = wf[jnp.arange(b * (kb - 1)),
+                             jnp.clip(d_flat, 0)]
+                    accept = u < jnp.exp(l_d - lse).reshape(b, kb - 1)
+                if forced_content:
+                    # scripted sampled serving: the model's draw at emitted
+                    # index n_emit + j IS the script token, so draft j+1 is
+                    # accepted iff it matches it. The where-on-script>=0
+                    # selects (always true at runtime, unprovable at compile
+                    # time) keep the whole bounds/exact/residual computation
+                    # live.
+                    idxs = n_emit[:, None] + koff[None, :]
+                    s_tok = jnp.take_along_axis(
+                        script.astype(jnp.int32),
+                        jnp.clip(idxs, 0, script.shape[1] - 1), axis=1)
+                    accept = jnp.where(s_tok[:, :-1] >= 0,
+                                       f[:, 1:] == s_tok[:, :-1], accept)
+                chain = jnp.cumprod(accept.astype(jnp.int32), axis=1)
                 n_acc = jnp.sum(chain, axis=1)                 # 0..kb-1
                 c = n_acc + 1
+                # boundary residual: position n_acc's draft was rejected
+                # (or, at kb-1, the sentinel draws from the full warp)
+                w_b = jnp.take_along_axis(
+                    w_all, n_acc[:, None, None], axis=1)[:, 0]  # (B, V)
+                d_b = jnp.take_along_axis(
+                    d_per_pos, n_acc[:, None], axis=1)[:, 0]
+                if gen.top_p < 1.0:
+                    _, fresh_b = nucleus_accept_residual(
+                        k_res, w_b, d_b, gen.top_p)
+                else:
+                    wbf = w_b.astype(jnp.float32)
+                    masked = wbf.at[rows, jnp.clip(d_b, 0)].set(-jnp.inf)
+                    w_res = jnp.where((d_b >= 0)[:, None], masked, wbf)
+                    fresh_b = jax.random.categorical(
+                        k_res, w_res, axis=-1).astype(jnp.int32)
                 d_shift = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
-                g = jnp.where(koff[None, :] < n_acc[:, None], d_shift, fresh)
+                g = jnp.where(koff[None, :] < n_acc[:, None], d_shift,
+                              fresh_b[:, None])
+                if forced_content:
+                    # accepted drafts equal the script by construction; the
+                    # boundary position's "fresh draw" is scripted too
+                    g = jnp.where(s_tok >= 0, s_tok, g)
             # EOS inside the block truncates it (the EOS itself is emitted)
             emitted_eos = (g == gen.eos_token_id) & (koff[None, :] < c[:, None])
             hit = jnp.any(emitted_eos, axis=1)

@@ -100,15 +100,27 @@ def sample(
 def _topk_nucleus(logits: jax.Array, top_p: float, k: int):
     """(topv, topi, keep, lse_n, contained): descending top-k values/ids,
     the in-prefix nucleus mask, the nucleus logsumexp, and whether every
-    row's nucleus is contained in the prefix."""
+    row's nucleus is contained in the prefix.
+
+    ``keep`` uses top_p_filter's THRESHOLD semantics (keep all values >= the
+    smallest prefix-kept value), so tokens tied at the threshold are all
+    kept — bf16-quantized logits tie often at V~152k. ``contained`` is
+    conservative: a row whose threshold equals the k-th value may have ties
+    spilling past the prefix, so it routes to the dense fallback."""
     k = min(k, logits.shape[-1])
     lf = logits.astype(jnp.float32)
     lse = jax.nn.logsumexp(lf, axis=-1, keepdims=True)
     topv, topi = jax.lax.top_k(lf, k)
     probs = jnp.exp(topv - lse)
     cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) < top_p  # keep[0] always True
-    contained = jnp.all(cum[:, -1] >= top_p)
+    keep_prefix = (cum - probs) < top_p  # keep_prefix[0] always True
+    num_keep = jnp.sum(keep_prefix, axis=-1)
+    thr = jnp.take_along_axis(
+        topv, jnp.clip(num_keep - 1, 0)[:, None], axis=-1)
+    keep = topv >= thr
+    contained = jnp.all((cum[:, -1] >= top_p)
+                        & ((thr[:, 0] > topv[:, -1])
+                           | (k == logits.shape[-1])))
     masked = jnp.where(keep, probs, 0.0)
     lse_n = jnp.log(masked.sum(-1, keepdims=True)) + lse
     return topv, topi, keep, lse_n, contained
@@ -129,6 +141,73 @@ def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float,
             rng, top_p_filter(logits, top_p), axis=-1)
 
     return jax.lax.cond(contained, fast, slow, None).astype(jnp.int32)
+
+
+def nucleus_membership_bounds(logits: jax.Array, draft: jax.Array,
+                              top_p: float):
+    """Sort-free draft-acceptance bounds for the top-p-warped distribution.
+
+    Returns (member, p_lo, p_hi) per row, all from two fused reduction
+    passes over the vocab (logsumexp + a strictly-greater mass sum) — no
+    top_k, no sort:
+
+    * member: whether the draft is inside the nucleus. top_p_filter keeps
+      ``{v: l_v >= thr}`` where thr is the smallest kept sorted value, and
+      d is kept iff the total probability mass STRICTLY above l_d is
+      < top_p (mass-above < top_p makes d's first sorted occurrence a kept
+      position, so thr <= l_d; otherwise every occurrence falls past the
+      keep prefix and thr > l_d).
+    * p_lo <= p_warped(d) <= p_hi: the warped probability is
+      p_full(d)/N with nucleus mass N in [max(top_p, P_above + p_full), 1]
+      (the nucleus always reaches top_p, and membership is monotone in the
+      logit so it contains everything above d plus d itself).
+
+    A uniform u accepts certainly when u < p_lo and rejects certainly when
+    u >= p_hi; only the narrow band in between (width <= p_full*(1/top_p-1))
+    needs the exact normalizer. Rows with draft < 0 report member=False,
+    p_lo = p_hi = 0.
+    """
+    b = logits.shape[0]
+    rows = jnp.arange(b)
+    lf = logits.astype(jnp.float32)
+    d_safe = jnp.clip(draft, 0)
+    l_d = lf[rows, d_safe]
+    lse = jax.nn.logsumexp(lf, axis=-1)
+    p_above = jnp.sum(
+        jnp.where(lf > l_d[:, None], jnp.exp(lf - lse[:, None]), 0.0),
+        axis=-1)
+    member = (p_above < top_p) & (draft >= 0)
+    p_full = jnp.exp(l_d - lse)
+    p_lo = jnp.where(member, p_full, 0.0)
+    p_hi = jnp.where(member,
+                     jnp.minimum(p_full / jnp.maximum(top_p,
+                                                      p_above + p_full),
+                                 1.0),
+                     0.0)
+    return member, p_lo, p_hi
+
+
+def nucleus_p_draft(logits: jax.Array, draft: jax.Array, top_p: float,
+                    k: int = 128) -> jax.Array:
+    """Exact warped probability of the draft token (k-space fast path,
+    dense fallback) — the p-only half of nucleus_accept_residual."""
+    b = logits.shape[0]
+    rows = jnp.arange(b)
+    topv, topi, keep, lse_n, contained = _topk_nucleus(logits, top_p, k)
+    d_safe = jnp.clip(draft, 0)
+    l_d = logits.astype(jnp.float32)[rows, d_safe]
+
+    def fast(_):
+        is_member = ((topi == d_safe[:, None]) & keep).any(-1)
+        return jnp.where(is_member & (draft >= 0),
+                         jnp.exp(l_d - lse_n[:, 0]), 0.0)
+
+    def slow(_):
+        w = top_p_filter(logits.astype(jnp.float32), top_p)
+        p = jax.nn.softmax(w, axis=-1)
+        return jnp.where(draft >= 0, p[rows, d_safe], 0.0)
+
+    return jax.lax.cond(contained, fast, slow, None)
 
 
 def nucleus_accept_residual(rng: jax.Array, logits: jax.Array,
