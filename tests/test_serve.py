@@ -132,6 +132,51 @@ def test_llm_server_openai_protocol(llm_server_url):
     assert models["data"][0]["id"] == "tiny-test-llm"
 
 
+def test_llm_server_spec_acceptance_telemetry(llm_server_url):
+    """Greedy TextLMServer rides speculative decoding by default and its
+    acceptance telemetry surfaces via /v1/config (roadmap QoL item)."""
+    status, _ = _post(llm_server_url + "/v1/completions",
+                      {"prompt": "count to four"})
+    assert status == 200
+    with urllib.request.urlopen(llm_server_url + "/v1/config",
+                                timeout=60) as resp:
+        cfg = json.loads(resp.read())
+    assert cfg["speculative"] is True
+    stats = cfg["spec_stats"]
+    assert stats["verify_steps"] >= 1
+    assert stats["emitted_tokens"] >= 1
+    assert stats["mean_accept_per_step"] == pytest.approx(
+        stats["emitted_tokens"] / stats["verify_steps"], abs=0.01)
+
+
+def test_slot_engine_spec_stats():
+    """Engine.spec_stats counts (slot, dispatch) verify steps and emitted
+    tokens; plain engines leave it zeroed."""
+    import jax
+    import jax.numpy as jnp
+
+    from u2tokenizer_tpu.config import GenerationConfig, LLMConfig
+    from u2tokenizer_tpu.models.llm.decoder import CausalLM
+    from u2tokenizer_tpu.models.slot_serving import Engine
+
+    cfg = LLMConfig.tiny()
+    model = CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    emb = jnp.zeros((1, 8, cfg.hidden_size), jnp.float32)
+    params = model.init(rng, emb, jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 1, 8, 8), bool))
+    gen = GenerationConfig(max_new_tokens=8, eos_token_id=-2, pad_token_id=0)
+    eng = Engine(model, params, gen, num_slots=2, prompt_buf=16,
+                 cache_dtype=jnp.float32, speculative=True, block_len=4)
+    ids = jnp.ones((1, 5), jnp.int32)
+    eng.submit(ids)
+    out = eng.run()
+    assert len(out[0]) == 8
+    assert eng.spec_stats["verify_steps"] >= 1
+    # every token after tok0 was emitted by a verify step
+    assert eng.spec_stats["emitted_tokens"] == 7
+
+
 def test_llm_server_closes_synthesis_loop(llm_server_url):
     """data/synthesis.py's OpenAI-protocol client talks to OUR server —
     the full synthesis loop runs with no external LLM dependency."""

@@ -113,10 +113,14 @@ class U2InferenceModel:
         # loop). Opt-in: acceptance is content-dependent.
         self._speculative = speculative
         if speculative:
-            self._gen_fn = make_spec_multimodal_generate_fn(self.model, gen)
+            self._gen_fn = make_spec_multimodal_generate_fn(
+                self.model, gen, return_stats=True)
         else:
             self._gen_fn = make_multimodal_generate_fn(self.model, gen)
         self._rng = jax.random.PRNGKey(seed)
+        # acceptance telemetry (speculative only): cumulative emitted tokens
+        # vs device verify steps — mean acceptance = tokens / steps
+        self.spec_stats = {"emitted_tokens": 0, "verify_steps": 0}
 
     def _merge_lora(self, lora_path: str):
         from flax import serialization
@@ -155,6 +159,15 @@ class U2InferenceModel:
         toks = self._gen_fn(self.params, jnp.asarray(input_id[None]),
                             images, jnp.asarray(qids[None]),
                             jnp.asarray([plen], jnp.int32), sub)
+        if self._speculative:
+            toks, steps = toks
+            row = np.asarray(toks)[0]
+            eos = np.nonzero(row == self.tokenizer.eos_token_id)[0]
+            emitted = int(eos[0]) + 1 if eos.size else row.shape[0]
+            # tok0 comes from the prefill, not a verify step: acceptance =
+            # emitted_tokens / verify_steps over the block-decode loop
+            self.spec_stats["emitted_tokens"] += max(emitted - 1, 0)
+            self.spec_stats["verify_steps"] += int(np.asarray(steps))
         ids = [int(t) for t in np.asarray(toks)[0]
                if t not in (self.gen_cfg.pad_token_id,
                             self.tokenizer.eos_token_id)]

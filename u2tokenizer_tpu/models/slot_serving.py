@@ -319,6 +319,10 @@ class Engine:
         self._by_slot: Dict[int, _Request] = {}
         self._results: Dict[int, List[int]] = {}
         self._next_rid = 0
+        # acceptance telemetry (speculative only): verify_steps counts one
+        # per (active slot, decode dispatch); mean acceptance =
+        # emitted_tokens / verify_steps
+        self.spec_stats = {"emitted_tokens": 0, "verify_steps": 0}
 
     def _next_rng(self):
         """Per-step PRNG key; greedy engines skip the device-side split
@@ -421,10 +425,12 @@ class Engine:
                 toks, counts = packed[:, :-1], packed[:, -1]
                 for slot, req in self._by_slot.items():
                     room = self.gen.max_new_tokens - len(req.tokens)
+                    self.spec_stats["verify_steps"] += 1
                     for t in toks[slot][: min(int(counts[slot]), room)]:
                         if req.finished:
                             break
                         self._append(req, int(t))
+                        self.spec_stats["emitted_tokens"] += 1
             else:
                 self.state, toks = self._decode(self.params, self.state, sub)
                 toks = np.asarray(toks)
@@ -495,6 +501,14 @@ class EngineInference:
         self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._drive, daemon=True)
         self._thread.start()
+
+    @property
+    def speculative(self) -> bool:
+        return self.engine.speculative
+
+    @property
+    def spec_stats(self) -> Dict[str, int]:
+        return self.engine.spec_stats
 
     def _push_stream(self, local: int, tokens: List[int], start: int,
                      done: bool):

@@ -205,11 +205,15 @@ class TextLMServer:
         if self._speculative:
             from .models.speculative import make_spec_generate_fn
 
-            self._gen = jax.jit(make_spec_generate_fn(model, self.gen_cfg))
+            self._gen = jax.jit(make_spec_generate_fn(
+                model, self.gen_cfg, return_stats=True))
         else:
             self._gen = jax.jit(make_generate_fn(model, self.gen_cfg))
         self._lock = threading.Lock()
         self._calls = 0
+        # acceptance telemetry (speculative only; surfaced via /v1/config):
+        # mean acceptance = emitted_tokens / verify_steps
+        self.spec_stats = {"emitted_tokens": 0, "verify_steps": 0}
 
     def text_completion(self, prompt: str) -> str:
         import jax.numpy as jnp
@@ -225,8 +229,16 @@ class TextLMServer:
             lens = jnp.asarray([len(ids)], jnp.int32)
             key = self._jax.random.PRNGKey(self._calls)
             if self._speculative:
-                toks = np.asarray(self._gen(self.params, embeds,
-                                            jnp.asarray(arr), lens, key))
+                toks, steps = self._gen(self.params, embeds,
+                                        jnp.asarray(arr), lens, key)
+                toks = np.asarray(toks)
+                eos_id = self.gen_cfg.eos_token_id
+                eos = (np.nonzero(toks[0] == eos_id)[0]
+                       if eos_id is not None else np.empty(0, np.int64))
+                emitted = int(eos[0]) + 1 if eos.size else toks.shape[1]
+                # tok0 comes from the prefill, not a verify step
+                self.spec_stats["emitted_tokens"] += max(emitted - 1, 0)
+                self.spec_stats["verify_steps"] += int(np.asarray(steps))
             else:
                 toks = np.asarray(self._gen(self.params, embeds, lens, key))
         return self.tokenizer.decode(
@@ -405,7 +417,7 @@ def make_handler(server: U2Server):
                 # precision is fixed at launch on TPU (weights are compiled
                 # in), so the page reports it instead of switching live
                 m = server.model
-                self._send(200, {
+                payload = {
                     "weights": getattr(m, "weights", "bf16"),
                     "speculative": bool(getattr(m, "_speculative",
                                                 getattr(m, "speculative",
@@ -413,7 +425,15 @@ def make_handler(server: U2Server):
                     "concurrent": bool(getattr(m, "concurrent", False)),
                     "max_new_tokens": getattr(
                         getattr(m, "gen_cfg", None), "max_new_tokens", None),
-                })
+                }
+                stats = getattr(m, "spec_stats", None)
+                if payload["speculative"] and stats and \
+                        stats.get("verify_steps"):
+                    payload["spec_stats"] = dict(
+                        stats, mean_accept_per_step=round(
+                            stats["emitted_tokens"]
+                            / stats["verify_steps"], 2))
+                self._send(200, payload)
             elif self.path.startswith("/v1/volume/"):
                 # /v1/volume/<id>/slice/<index> -> PNG
                 parts = self.path.strip("/").split("/")

@@ -45,6 +45,12 @@ class MockTokenizer:
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
         return self(text)["input_ids"]
 
+    def convert_tokens_to_ids(self, tokens):
+        """HF surface used by the seg eval driver ('[SEG]' lookup)."""
+        if isinstance(tokens, str):
+            return self._id(tokens)
+        return [self._id(t) for t in tokens]
+
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
         words = []
         for i in ids:
