@@ -199,3 +199,45 @@ def test_spec_engine_int8_cache(setup):
     r_s = spec.submit(*requests[0])
     out = spec.run()
     assert ref[r_p] == out[r_s]
+
+
+def test_adaptive_engine_matches_plain_and_flips_modes(setup):
+    """speculative="auto": tokens identical to the plain engine while the
+    policy flips spec -> plain (threshold unreachable) and probes back."""
+    cfg, model, params, gen, requests = setup
+    plain = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                   cache_dtype=jnp.float32)
+    rids_p = [plain.submit(*requests[i]) for i in range(5)]
+    ref = plain.run()
+
+    # threshold above block_len makes every full window flip to plain;
+    # tiny window + probe_every force several mode transitions per run
+    auto = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                  cache_dtype=jnp.float32, speculative="auto", block_len=4,
+                  spec_threshold=5.0, spec_window=2, probe_every=3)
+    assert auto.adaptive and auto.speculative and auto.spec_mode == "spec"
+    modes = []
+    rids_a = [auto.submit(*requests[i]) for i in range(5)]
+    while auto._queue or auto._by_slot:
+        auto.step()
+        modes.append(auto.spec_mode)
+    out = auto._results
+    for a, b in zip(rids_p, rids_a):
+        assert ref[a] == out[b], (ref[a], out[b])
+    assert "plain" in modes, "policy never fell back"
+    # probe_every plain dispatches must re-enter spec at least once
+    flips = sum(1 for x, y in zip(modes, modes[1:]) if x != y)
+    assert flips >= 2, modes
+
+
+def test_adaptive_engine_stays_spec_on_high_acceptance(setup):
+    """With threshold 1.0 (always satisfiable: every verify step emits >= 1)
+    the adaptive engine never leaves spec mode."""
+    cfg, model, params, gen, requests = setup
+    auto = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                  cache_dtype=jnp.float32, speculative="auto", block_len=4,
+                  spec_threshold=1.0, spec_window=2, probe_every=3)
+    auto.submit(*requests[0])
+    while auto._queue or auto._by_slot:
+        auto.step()
+        assert auto.spec_mode == "spec"

@@ -17,8 +17,15 @@ measures that pipeline on one chip with the serving configuration:
     quote report sentences from the prompt — high-acceptance content),
     batch = all predictions.
 
-Prints one JSON line {cases_per_min, predict_s, judge_s, ...}. Throughput
-is weight-value independent (same reasoning as bench.py); judge
+Each stage runs in its OWN PROCESS (PG_STAGE=predict|judge; report combines
+them) so the two multi-GB models never share the 16 GB chip — the fp32
+judge init alone peaks ~11 GB. Orchestration:
+
+  PG_STAGE=predict python tools_bench_pred_green.py
+  PG_STAGE=judge   python tools_bench_pred_green.py
+  PG_STAGE=report  python tools_bench_pred_green.py   # one JSON line
+
+Throughput is weight-value independent (same reasoning as bench.py); judge
 speculative acceptance is content-dependent and measured in forced-content
 mode over scripted judgment text that quotes the embedded report (the
 structure real GREEN outputs have).
@@ -26,7 +33,6 @@ structure real GREEN outputs have).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import sys
@@ -42,32 +48,36 @@ PRED_TOKENS = int(os.environ.get("PG_PRED_TOKENS", "768"))
 JUDGE_TOKENS = int(os.environ.get("PG_JUDGE_TOKENS", "600"))
 JUDGE_PROMPT = int(os.environ.get("PG_JUDGE_PROMPT", "2048"))
 JUDGE_BATCH = int(os.environ.get("PG_JUDGE_BATCH", "16"))
+STAGE = os.environ.get("PG_STAGE", "report")
+STATE = os.environ.get("PG_STATE", "/tmp/pred_green_state.json")
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    from u2tokenizer_tpu.config import (GenerationConfig, LLMConfig,
-                                        U2ModelConfig)
-    from u2tokenizer_tpu.data.synthetic_reports import report_token_scripts
-    from u2tokenizer_tpu.models.generate import make_multimodal_generate_fn
-    from u2tokenizer_tpu.models.llm.decoder import CausalLM
+def _load_state() -> dict:
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            return json.load(f)
+    return {}
+
+
+def _save(key: str, value) -> None:
+    state = _load_state()
+    state[key] = value
+    with open(STATE, "w") as f:
+        json.dump(state, f)
+
+
+def stage_predict():
+    from u2tokenizer_tpu.config import GenerationConfig, U2ModelConfig
     from u2tokenizer_tpu.models.quantize import (cast_for_inference,
                                                  quantize_llm_weights,
                                                  quantized_llm_config)
-    from u2tokenizer_tpu.models.speculative import make_spec_generate_fn
     from u2tokenizer_tpu.models.u2_model import U2CausalLM
 
     rng = jax.random.PRNGKey(0)
-
-    # ---------------- stage 1: 8-sample prediction ----------------
     cfg = U2ModelConfig()
     model = U2CausalLM(cfg, dtype=jnp.bfloat16)
     d, h, w = cfg.vision.input_spatial
@@ -119,15 +129,24 @@ def main():
     np.asarray(toks)
     predict_s = time.time() - t0
     log(f"stage1: {predict_s:.1f}s for {b_pred} sampled predictions")
-    del params
-    del images
+    _save("predict_s", predict_s)
 
-    # ---------------- stage 2: GREEN judging ----------------
+
+def stage_judge():
+    from u2tokenizer_tpu.config import GenerationConfig, LLMConfig
+    from u2tokenizer_tpu.data.synthetic_reports import report_token_scripts
+    from u2tokenizer_tpu.models.llm.decoder import CausalLM
+    from u2tokenizer_tpu.models.quantize import (cast_for_inference,
+                                                 quantize_llm_weights,
+                                                 quantized_llm_config)
+    from u2tokenizer_tpu.models.speculative import make_spec_generate_fn
+
+    rng = jax.random.PRNGKey(0)
+    b_pred = CASES * N_SAMPLES
     # GREEN-RadPhi2 geometry: the framework's phi-2 2.7B preset
     jcfg = LLMConfig.phi2()
     judge = CausalLM(jcfg, dtype=jnp.bfloat16)
     jb = JUDGE_BATCH
-    j_ids = jnp.zeros((jb, JUDGE_PROMPT), jnp.int32)
     j_len = jnp.full((jb,), JUDGE_PROMPT, jnp.int32)
     log("stage2: init 2.7B judge int8")
     jparams = jax.jit(lambda r: judge.init(
@@ -176,8 +195,18 @@ def main():
     accept = JUDGE_TOKENS / max(steps_i, 1)
     log(f"stage2: {judge_s:.1f}s for {b_pred} judgments "
         f"({accept:.2f} accepted/step on quoted-report content)")
+    _save("judge_s", judge_s)
+    _save("judge_accept", accept)
 
-    total_s = predict_s + judge_s
+
+def report():
+    r = _load_state()
+    missing = {"predict_s", "judge_s"} - set(r)
+    if missing:
+        print(json.dumps({"error": f"missing stages: {sorted(missing)}",
+                          "state": r}))
+        sys.exit(1)
+    total_s = r["predict_s"] + r["judge_s"]
     cases_per_min = CASES * 60.0 / total_s
     print(json.dumps({
         "metric": "pred_then_green_cases_per_min",
@@ -185,15 +214,29 @@ def main():
         "unit": "cases/min/chip",
         "detail": {
             "cases": CASES, "samples_per_case": N_SAMPLES,
-            "predict_seconds": round(predict_s, 1),
-            "judge_seconds": round(judge_s, 1),
+            "predict_seconds": round(r["predict_s"], 1),
+            "judge_seconds": round(r["judge_s"], 1),
             "predict_tokens": PRED_TOKENS, "judge_tokens": JUDGE_TOKENS,
             "judge_model": "phi2-2.7B-geometry int8 (GREEN-RadPhi2 class)",
-            "judge_accept_per_step": round(accept, 2),
+            "judge_accept_per_step": round(r["judge_accept"], 2),
             "policy": "u2-qwen3-1.7b int8, nucleus top-p 0.9 via the "
                       "bucketed warp, vision encoded once per case",
         },
     }))
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if STAGE == "predict":
+        stage_predict()
+    elif STAGE == "judge":
+        stage_judge()
+    else:
+        report()
 
 
 if __name__ == "__main__":

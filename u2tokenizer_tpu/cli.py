@@ -789,11 +789,11 @@ def cmd_serve(args):
     from .serve import serve
 
     cfg = _load_model_config(args) if (args.tiny or args.config) else None
-    spec = getattr(args, "speculative", False)
+    spec = getattr(args, "speculative", None)
     model = U2InferenceModel(
         args.checkpoint, tokenizer=_load_tokenizer(args.tokenizer),
         model_config=cfg, max_new_tokens=args.max_new_tokens,
-        do_sample=args.do_sample, top_p=args.top_p, speculative=spec,
+        do_sample=args.do_sample, top_p=args.top_p, speculative=bool(spec),
         weights=getattr(args, "weights", "bf16"))
     if getattr(args, "slots", 0) > 1:
         # continuous batching: concurrent requests share a slot pool
@@ -804,7 +804,8 @@ def cmd_serve(args):
             max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
             top_p=args.top_p, num_slots=args.slots,
             prompt_buf=args.max_length,
-            speculative=spec if spec else None)
+            speculative=("auto" if spec == "auto" else
+                         True if spec else None))
         print(f"continuous batching: {args.slots} slots", file=sys.stderr)
     print(f"serving on {args.host}:{args.port}", file=sys.stderr)
     serve(model, host=args.host, port=args.port)
@@ -1105,9 +1106,13 @@ def build_parser():
     sv.add_argument("--max-new-tokens", type=int, default=768)
     sv.add_argument("--do-sample", action="store_true")
     sv.add_argument("--top-p", type=float, default=0.9)
-    sv.add_argument("--speculative", action="store_true",
+    sv.add_argument("--speculative", nargs="?", const="on", default=None,
+                    choices=["on", "auto"],
                     help="n-gram-drafted decode (greedy: opt-in on the "
-                         "slot engine; exact tokens either way)")
+                         "slot engine; exact tokens either way). 'auto' "
+                         "(slot engine) adapts to measured acceptance: "
+                         "falls back to one-token dispatches on "
+                         "low-acceptance content, re-probes periodically")
     sv.add_argument("--weights", choices=["bf16", "int8", "int4"],
                     default="bf16",
                     help="serving weight precision (the online_demo.py "

@@ -140,9 +140,12 @@ def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
     per call). Tokens are bit-identical to the plain slot engine
     (models/speculative.py acceptance rule).
 
+    Returns (init_state, prefill_fn, decode_fn, decode_one_fn).
     decode_fn(params, state, rng) -> (state, packed (S, block_len + 1)):
     row j emitted packed[j, :packed[j, -1]] (tokens and per-row counts
     packed into one array so the host fetches once per step).
+    decode_one_fn is the kb=1 instantiation — a plain one-token step over
+    the same state layout, used by the adaptive engine's fallback mode.
     """
     from .speculative import ngram_draft
     from .u2_model import causal_padding_mask
@@ -202,80 +205,90 @@ def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
         ), tok0
 
     kv_pos = jnp.arange(total, dtype=jnp.int32)
-    koff = jnp.arange(kb, dtype=jnp.int32)
     rows = jnp.arange(num_slots)
 
-    @jax.jit
-    def decode_fn(params, state: SlotState, rng):
-        del rng  # greedy
-        n_w = state.n_gen                      # KV-written generated tokens
-        pending = state.tok
-        # n_gen counts decode-emitted tokens; +1 for the prefill token
-        n_emit = state.n_gen + 1
+    def make_decode(kbx: int):
+        """Verify-block decode with ``kbx`` positions over the SAME state
+        layout. kbx=1 degenerates to the plain one-token step (no drafts) —
+        the adaptive engine flips between the two without state surgery."""
+        koff = jnp.arange(kbx, dtype=jnp.int32)
 
-        idx_last = prompt_buf + n_w
-        prev = jnp.where(
-            n_w >= 1,
-            jnp.take_along_axis(
-                state.hist, jnp.clip(idx_last - 1, 0)[:, None],
-                axis=1)[:, 0],
-            jnp.take_along_axis(
-                state.hist, jnp.clip(state.prompt_len - 1, 0)[:, None],
-                axis=1)[:, 0])
-        prev2_idx = jnp.where(
-            n_w >= 2, idx_last - 2,
-            jnp.where(n_w == 1, state.prompt_len - 1,
-                      state.prompt_len - 2))
-        prev2 = jnp.take_along_axis(
-            state.hist, jnp.clip(prev2_idx, 0)[:, None], axis=1)[:, 0]
-        drafts = ngram_draft(state.hist, idx_last, prev, pending, kb - 1,
-                             c00=prev2)
+        @jax.jit
+        def decode_fn(params, state: SlotState, rng):
+            del rng  # greedy
+            n_w = state.n_gen                  # KV-written generated tokens
+            pending = state.tok
+            # n_gen counts decode-emitted tokens; +1 for the prefill token
+            n_emit = state.n_gen + 1
 
-        f = jnp.concatenate([pending[:, None], drafts], axis=1)
-        emb = model.apply(params, f, method="embed_tokens")
-        pos = (state.prompt_len + n_w)[:, None] + koff[None, :]
-        key_ok = (kv_pos[None, None, :] < state.prompt_len[:, None, None]) | (
-            (kv_pos[None, None, :] >= prompt_buf) &
-            (kv_pos[None, None, :] <= (prompt_buf + n_w)[:, None, None]
-             + koff[None, :, None]))
-        logits, _, cache = model.apply(
-            params, emb, pos.astype(jnp.int32), key_ok[:, None],
-            state.cache, prompt_buf + n_w, method="decode_step")
-        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            idx_last = prompt_buf + n_w
+            prev = jnp.where(
+                n_w >= 1,
+                jnp.take_along_axis(
+                    state.hist, jnp.clip(idx_last - 1, 0)[:, None],
+                    axis=1)[:, 0],
+                jnp.take_along_axis(
+                    state.hist, jnp.clip(state.prompt_len - 1, 0)[:, None],
+                    axis=1)[:, 0])
+            prev2_idx = jnp.where(
+                n_w >= 2, idx_last - 2,
+                jnp.where(n_w == 1, state.prompt_len - 1,
+                          state.prompt_len - 2))
+            prev2 = jnp.take_along_axis(
+                state.hist, jnp.clip(prev2_idx, 0)[:, None], axis=1)[:, 0]
+            drafts = ngram_draft(state.hist, idx_last, prev, pending,
+                                 kbx - 1, c00=prev2)
 
-        match = f[:, 1:] == g[:, :-1]
-        chain = jnp.cumprod(match.astype(jnp.int32), axis=1)
-        c = 1 + jnp.sum(chain, axis=1)
-        emitted_eos = (g == gen.eos_token_id) & (koff[None, :] < c[:, None])
-        first_eos = jnp.argmax(emitted_eos, axis=1)
-        c = jnp.where(jnp.any(emitted_eos, axis=1),
-                      jnp.minimum(c, first_eos + 1), c)
-        c = jnp.minimum(c, max_new - n_emit)   # budget
-        emit_ok = state.active & ~state.done
-        c = jnp.where(emit_ok, jnp.maximum(c, 0), 0)
-        hit = jnp.any((g == gen.eos_token_id)
-                      & (koff[None, :] < c[:, None]), axis=1)
+            f = jnp.concatenate([pending[:, None], drafts], axis=1)
+            emb = model.apply(params, f, method="embed_tokens")
+            pos = (state.prompt_len + n_w)[:, None] + koff[None, :]
+            key_ok = (kv_pos[None, None, :]
+                      < state.prompt_len[:, None, None]) | (
+                (kv_pos[None, None, :] >= prompt_buf) &
+                (kv_pos[None, None, :] <= (prompt_buf + n_w)[:, None, None]
+                 + koff[None, :, None]))
+            logits, _, cache = model.apply(
+                params, emb, pos.astype(jnp.int32), key_ok[:, None],
+                state.cache, prompt_buf + n_w, method="decode_step")
+            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        emit = koff[None, :] < c[:, None]
-        toks = jnp.where(emit, g, jnp.int32(gen.pad_token_id))
-        hist_idx = jnp.where(
-            emit, prompt_buf + n_emit[:, None] + koff[None, :], hist_len)
-        hist = state.hist.at[rows[:, None], hist_idx].set(g, mode="drop")
-        new_pending = jnp.where(
-            c > 0,
-            jnp.take_along_axis(g, jnp.clip(c - 1, 0)[:, None], axis=1)[:, 0],
-            pending)
-        n_gen = state.n_gen + c
-        newly_done = emit_ok & (hit | (n_gen + 1 >= max_new))
-        # tokens and counts packed into one array = one host fetch per step
-        packed = jnp.concatenate([toks, c[:, None]], axis=1)
-        return SlotState(
-            cache=cache, tok=new_pending, prompt_len=state.prompt_len,
-            n_gen=n_gen, active=state.active, done=state.done | newly_done,
-            hist=hist,
-        ), packed
+            match = f[:, 1:] == g[:, :-1]
+            chain = jnp.cumprod(match.astype(jnp.int32), axis=1)
+            c = 1 + jnp.sum(chain, axis=1)
+            emitted_eos = (g == gen.eos_token_id) & (koff[None, :]
+                                                     < c[:, None])
+            first_eos = jnp.argmax(emitted_eos, axis=1)
+            c = jnp.where(jnp.any(emitted_eos, axis=1),
+                          jnp.minimum(c, first_eos + 1), c)
+            c = jnp.minimum(c, max_new - n_emit)   # budget
+            emit_ok = state.active & ~state.done
+            c = jnp.where(emit_ok, jnp.maximum(c, 0), 0)
+            hit = jnp.any((g == gen.eos_token_id)
+                          & (koff[None, :] < c[:, None]), axis=1)
 
-    return init_state, prefill_fn, decode_fn
+            emit = koff[None, :] < c[:, None]
+            toks = jnp.where(emit, g, jnp.int32(gen.pad_token_id))
+            hist_idx = jnp.where(
+                emit, prompt_buf + n_emit[:, None] + koff[None, :], hist_len)
+            hist = state.hist.at[rows[:, None], hist_idx].set(g, mode="drop")
+            new_pending = jnp.where(
+                c > 0,
+                jnp.take_along_axis(
+                    g, jnp.clip(c - 1, 0)[:, None], axis=1)[:, 0],
+                pending)
+            n_gen = state.n_gen + c
+            newly_done = emit_ok & (hit | (n_gen + 1 >= max_new))
+            # tokens + counts packed into one array = one host fetch per step
+            packed = jnp.concatenate([toks, c[:, None]], axis=1)
+            return SlotState(
+                cache=cache, tok=new_pending, prompt_len=state.prompt_len,
+                n_gen=n_gen, active=state.active,
+                done=state.done | newly_done, hist=hist,
+            ), packed
+
+        return decode_fn
+
+    return init_state, prefill_fn, make_decode(kb), make_decode(1)
 
 
 @dataclasses.dataclass
@@ -295,20 +308,33 @@ class Engine:
     ``speculative=True`` (greedy only): each device step runs an n-gram-
     drafted verify block per slot and can emit up to ``block_len`` tokens —
     same tokens, ~acceptance× fewer host→device round trips.
+
+    ``speculative="auto"``: adaptive speculation — acceptance is content-
+    dependent (measured 1.1/step on random prompts vs 4.0 on template-heavy
+    reports, BENCHMARKS.md) and a verify block costs ~2× a plain dispatch
+    on the axon relay, so the engine watches a sliding window of measured
+    acceptance and falls back to one-token dispatches (same state, same
+    tokens — a kb=1 verify block) when acceptance < ``spec_threshold``,
+    re-probing speculation every ``probe_every`` plain dispatches. Output
+    is bit-identical in every mode; only dispatch granularity adapts.
     """
 
     def __init__(self, model, params, gen: GenerationConfig,
                  num_slots: int = 8, prompt_buf: int = 1024,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
-                 speculative: bool = False, block_len: int = 8):
+                 speculative=False, block_len: int = 8,
+                 spec_threshold: float = 2.0, spec_window: int = 16,
+                 probe_every: int = 64):
         self.model = model
         self.params = params
         self.gen = gen
         self.num_slots = num_slots
         self.prompt_buf = prompt_buf
-        self.speculative = speculative
-        if speculative:
-            init_state, self._prefill, self._decode = make_spec_slot_fns(
+        self.adaptive = speculative == "auto"
+        self.speculative = bool(speculative)
+        if self.speculative:
+            (init_state, self._prefill, self._decode,
+             self._decode_one) = make_spec_slot_fns(
                 model, gen, num_slots, prompt_buf, cache_dtype, block_len)
         else:
             init_state, self._prefill, self._decode = make_slot_fns(
@@ -323,6 +349,26 @@ class Engine:
         # per (active slot, decode dispatch); mean acceptance =
         # emitted_tokens / verify_steps
         self.spec_stats = {"emitted_tokens": 0, "verify_steps": 0}
+        # adaptive-policy state
+        self.spec_threshold = spec_threshold
+        self.spec_window = spec_window
+        self.probe_every = probe_every
+        self.spec_mode = "spec" if self.speculative else "plain"
+        self._accept_window: deque = deque(maxlen=spec_window)
+        self._plain_dispatches = 0
+
+    def _adapt(self, emitted: int, slot_steps: int) -> None:
+        """Update the sliding acceptance window after a SPEC dispatch and
+        flip to plain mode when measured acceptance drops below threshold."""
+        self._accept_window.append((emitted, slot_steps))
+        if len(self._accept_window) < self.spec_window:
+            return
+        tok = sum(e for e, _ in self._accept_window)
+        stp = max(sum(s for _, s in self._accept_window), 1)
+        if tok / stp < self.spec_threshold:
+            self.spec_mode = "plain"
+            self._plain_dispatches = 0
+            self._accept_window.clear()
 
     def _next_rng(self):
         """Per-step PRNG key; greedy engines skip the device-side split
@@ -418,19 +464,30 @@ class Engine:
         if self._by_slot:
             sub = self._next_rng()
             if self.speculative:
+                use_spec = not self.adaptive or self.spec_mode == "spec"
+                if not use_spec:
+                    # plain fallback: kb=1 verify block on the same state
+                    self._plain_dispatches += 1
+                    if self._plain_dispatches >= self.probe_every:
+                        self.spec_mode = "spec"  # probe window next
+                fn = self._decode if use_spec else self._decode_one
                 # one fetch: (S, K) tokens packed with the (S,) counts
-                self.state, packed = self._decode(
-                    self.params, self.state, sub)
+                self.state, packed = fn(self.params, self.state, sub)
                 packed = np.asarray(packed)
                 toks, counts = packed[:, :-1], packed[:, -1]
+                emitted = slot_steps = 0
                 for slot, req in self._by_slot.items():
                     room = self.gen.max_new_tokens - len(req.tokens)
-                    self.spec_stats["verify_steps"] += 1
+                    slot_steps += 1
                     for t in toks[slot][: min(int(counts[slot]), room)]:
                         if req.finished:
                             break
                         self._append(req, int(t))
-                        self.spec_stats["emitted_tokens"] += 1
+                        emitted += 1
+                self.spec_stats["verify_steps"] += slot_steps
+                self.spec_stats["emitted_tokens"] += emitted
+                if self.adaptive and use_spec:
+                    self._adapt(emitted, slot_steps)
             else:
                 self.state, toks = self._decode(self.params, self.state, sub)
                 toks = np.asarray(toks)
@@ -509,6 +566,10 @@ class EngineInference:
     @property
     def spec_stats(self) -> Dict[str, int]:
         return self.engine.spec_stats
+
+    @property
+    def spec_mode(self) -> str:
+        return self.engine.spec_mode
 
     def _push_stream(self, local: int, tokens: List[int], start: int,
                      done: bool):

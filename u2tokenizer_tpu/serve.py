@@ -433,6 +433,9 @@ def make_handler(server: U2Server):
                         stats, mean_accept_per_step=round(
                             stats["emitted_tokens"]
                             / stats["verify_steps"], 2))
+                mode = getattr(m, "spec_mode", None)
+                if payload["speculative"] and mode is not None:
+                    payload["spec_mode"] = mode
                 self._send(200, payload)
             elif self.path.startswith("/v1/volume/"):
                 # /v1/volume/<id>/slice/<index> -> PNG
