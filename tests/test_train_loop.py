@@ -193,3 +193,42 @@ def test_async_checkpoint_overlap_and_isolation(tiny_trainer, tmp_path):
                     jax.tree_util.tree_leaves(r1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     assert int(np.asarray(r2.step)) == 2
+
+
+@pytest.mark.parametrize("policy", [True, "dots_no_batch", "dots"])
+def test_remat_policies_train_and_match(policy):
+    """Every remat policy produces the same loss/gradients as no remat —
+    checkpointing changes memory/recompute, never math."""
+    cfg = U2ModelConfig.tiny()
+    rng = jax.random.PRNGKey(0)
+    b, s = 2, 16
+    batch = {
+        "input_ids": jnp.zeros((b, s), jnp.int32),
+        "question_ids": jnp.ones((b, 4), jnp.int32),
+        "attention_mask": jnp.ones((b, s), jnp.int32),
+        "labels": jax.random.randint(jax.random.PRNGKey(1), (b, s), 0,
+                                     cfg.llm.vocab_size),
+    }
+
+    def loss_and_grad(remat):
+        model = U2CausalLM(cfg, dtype=jnp.float32, remat=remat)
+        params = model.init(rng, batch["input_ids"],
+                            jnp.zeros((b, cfg.num_chunks,
+                                       *cfg.vision.input_spatial)),
+                            batch["question_ids"])
+        fn = make_loss_fn(model)
+
+        def scalar(p):
+            return fn(p, batch)[0]
+
+        l, g = jax.value_and_grad(scalar)(params)
+        return l, g
+
+    l_ref, g_ref = loss_and_grad(False)
+    l_pol, g_pol = loss_and_grad(policy)
+    np.testing.assert_allclose(float(l_pol), float(l_ref), rtol=1e-6)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    flat_p = jax.tree_util.tree_leaves(g_pol)
+    for a, c in zip(flat_r, flat_p):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)

@@ -46,6 +46,10 @@ from u2tokenizer_tpu.train.sft import IGNORE_INDEX, cross_entropy_loss
 B = int(__import__("os").environ.get("TRAIN_B", "1"))
 S = int(__import__("os").environ.get("TRAIN_S", "1024"))
 N_STEPS = int(__import__("os").environ.get("TRAIN_STEPS", "4"))
+# remat policy: "nothing" (full recompute, min memory), "dots_no_batch"
+# (save weight-matmul outputs — less backward recompute, more activation
+# memory), "dots" (save every matmul output)
+REMAT = __import__("os").environ.get("TRAIN_REMAT_POLICY", "nothing")
 
 
 def log(*a):
@@ -65,7 +69,8 @@ def main():
     except Exception:
         pass
     cfg = U2ModelConfig()  # μ²Qwen3-1.7B, 8×(32,256,256) chunks
-    model = U2CausalLM(cfg, dtype=jnp.bfloat16, remat=True)
+    model = U2CausalLM(cfg, dtype=jnp.bfloat16,
+                       remat=True if REMAT == "nothing" else REMAT)
     rng = jax.random.PRNGKey(0)
     d, h, w = cfg.vision.input_spatial
 
@@ -190,8 +195,11 @@ def main():
     u2_flops = 2 * 360e6 * B * 2048 * 3
     # useful work (conventional MFU): fwd + bwd = 3x fwd for the decoder
     useful_flops = 2 * n_dec * B * S * 3 + vit_flops + u2_flops
-    # hardware work incl. the remat recompute pass: 4x fwd
-    hw_flops = 2 * n_dec * B * S * 4 + vit_flops + u2_flops
+    # hardware work incl. the remat recompute pass: 4x fwd under full
+    # recompute ("nothing"); dots policies skip recomputing the GEMMs, so
+    # their recompute factor is ~0 on the FLOPs ledger
+    remat_factor = 4 if REMAT == "nothing" else 3
+    hw_flops = 2 * n_dec * B * S * remat_factor + vit_flops + u2_flops
     mfu = useful_flops / s_step / 197e12
     hw_util = hw_flops / s_step / 197e12
 
@@ -211,6 +219,7 @@ def main():
             "loss_last": round(losses[-1], 4),
             "trainable_params_m": round((n_train + n_lora) / 1e6, 1),
             "frozen_params_b": round(n_frozen / 1e9, 3),
+            "remat_policy": REMAT,
             "hyperparams": "AdamW lr 4e-6 cosine, bf16, remat "
                            "(stage-1 script parity)",
         },

@@ -116,6 +116,8 @@ def cmd_train(args):
         per_device_batch_size=args.batch_size, model_max_length=args.max_length,
         output_dir=args.output_dir, save_steps=args.save_steps,
         max_steps=args.max_steps,
+        remat=(False if args.remat == "off" else
+               True if args.remat == "nothing" else args.remat),
         mesh=MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
                         tensor=args.mesh_tensor))
 
@@ -972,6 +974,12 @@ def build_parser():
     t.add_argument("--mesh-tensor", type=int, default=1)
     t.add_argument("--num-workers", type=int, default=4)
     t.add_argument("--freeze-vision-tower", action="store_true")
+    t.add_argument("--remat", default="nothing",
+                   choices=["nothing", "dots_no_batch", "dots", "off"],
+                   help="gradient-checkpoint policy: 'nothing' recomputes "
+                        "everything (min memory); 'dots_no_batch'/'dots' "
+                        "keep matmul outputs (faster backward, more "
+                        "activation memory); 'off' disables remat")
     t.add_argument("--pretrained", default=None)
     t.add_argument("--wandb", action="store_true")
     t.add_argument("--wandb-project", default="AMOS-MM")

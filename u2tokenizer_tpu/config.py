@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple, Union
 
 
 def _tuple(x) -> Tuple[int, ...]:
@@ -340,7 +340,10 @@ class TrainConfig:
     model_max_length: int = 1024
     seed: int = 42
     bf16: bool = True
-    remat: bool = True  # gradient checkpointing
+    # gradient checkpointing: True = full recompute ("nothing" policy,
+    # minimum memory); the strings "dots_no_batch" / "dots" keep matmul
+    # outputs (less backward recompute, more activation memory)
+    remat: Union[bool, str] = True
     freeze_vision_tower: bool = False
     freeze_backbone: bool = False
     save_steps: int = 2000

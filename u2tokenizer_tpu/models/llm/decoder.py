@@ -364,9 +364,22 @@ class DecoderModel(nn.Module):
                 (self.cfg.vocab_size, self.cfg.hidden_size), jnp.float32)
         layer_cls = DecoderLayer
         if self.remat:
+            # remat accepts True (= "nothing": full recompute, minimum
+            # memory) or a policy name trading activation memory for less
+            # backward recompute — "dots" keeps every matmul output,
+            # "dots_no_batch" keeps weight-matmul outputs only (the usual
+            # LLM sweet spot: saves the big GEMMs, recomputes elementwise)
+            policies = {
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "dots_no_batch":
+                    jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable,
+            }
+            name = self.remat if isinstance(self.remat, str) else "nothing"
             layer_cls = nn.remat(
                 DecoderLayer, prevent_cse=False,
-                policy=jax.checkpoint_policies.nothing_saveable)
+                policy=policies.get(
+                    name, jax.checkpoint_policies.nothing_saveable))
         self.layers = [layer_cls(self.cfg, self.dtype, name=f"layers_{i}")
                        for i in range(self.cfg.num_layers)]
         self.norm_f = make_norm(self.cfg, self.dtype, "norm")
