@@ -241,3 +241,96 @@ def test_adaptive_engine_stays_spec_on_high_acceptance(setup):
     while auto._queue or auto._by_slot:
         auto.step()
         assert auto.spec_mode == "spec"
+
+
+def test_engine_inference_rejects_bad_volume_shape(setup):
+    """A mis-shaped volume raises in the caller's thread with an actionable
+    message and never reaches the engine; the pool keeps serving."""
+    from test_data import MockTokenizer
+
+    from u2tokenizer_tpu.models.slot_serving import EngineInference
+
+    cfg, model, params, gen, requests = setup
+    inf = EngineInference(model, params, MockTokenizer(), cfg,
+                          max_new_tokens=MAX_NEW, num_slots=2,
+                          prompt_buf=PROMPT_BUF, cache_dtype=jnp.float32,
+                          question_len=4)
+    bad = np.zeros((32, 128, 128), np.float32)  # un-chunked raw volume
+    with pytest.raises(ValueError, match="chunk geometry"):
+        inf.inference(bad, "describe")
+    d, h, w = cfg.vision.input_spatial
+    good = np.zeros((cfg.num_chunks, d, h, w), np.float32)
+    assert isinstance(inf.inference(good, "describe"), str)
+
+
+def test_engine_driver_survives_failures(setup):
+    """Engine-thread failures (submit or step) must fail the affected
+    callers with RuntimeError — not hang them or kill the driver thread —
+    and the engine must keep serving afterwards."""
+    from test_data import MockTokenizer
+
+    from u2tokenizer_tpu.models.slot_serving import EngineInference
+
+    cfg, model, params, gen, requests = setup
+    inf = EngineInference(model, params, MockTokenizer(), cfg,
+                          max_new_tokens=MAX_NEW, num_slots=2,
+                          prompt_buf=PROMPT_BUF, cache_dtype=jnp.float32,
+                          question_len=4)
+    d, h, w = cfg.vision.input_spatial
+    vol = np.zeros((cfg.num_chunks, d, h, w), np.float32)
+
+    # 1. submit() raising inside the driver fails only that caller
+    orig_submit = inf.engine.submit
+    def boom_submit(*a, **k):
+        inf.engine.submit = orig_submit
+        raise RuntimeError("device lost during submit")
+    inf.engine.submit = boom_submit
+    with pytest.raises(RuntimeError, match="device lost during submit"):
+        inf.inference(vol, "q0")
+    assert isinstance(inf.inference(vol, "q1"), str)
+
+    # 2. step() raising mid-decode aborts in-flight requests with the error
+    #    and frees their slots for later traffic
+    orig_step = inf.engine.step
+    calls = {"n": 0}
+    def boom_step():
+        calls["n"] += 1
+        if calls["n"] == 2:  # let the prefill land, then blow up a decode
+            inf.engine.step = orig_step
+            raise RuntimeError("XlaRuntimeError: device halted")
+        return orig_step()
+    inf.engine.step = boom_step
+    with pytest.raises(RuntimeError, match="device halted"):
+        inf.inference(vol, "q2")
+    # stream variant after recovery still works end to end
+    assert "".join(inf.inference_stream(vol, "q3")) != ""
+    tele = inf.telemetry
+    assert tele["active_slots"] == 0 and tele["queue_depth"] == 0
+
+
+def test_engine_telemetry(setup):
+    """telemetry() tracks queue depth / active slots / counters live and
+    tokens_per_s decays to 0 when idle."""
+    cfg, model, params, gen, requests = setup
+    engine = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                    cache_dtype=jnp.float32)
+    t0 = engine.telemetry()
+    assert t0 == {"queue_depth": 0, "active_slots": 0, "num_slots": 2,
+                  "completed_requests": 0, "emitted_tokens_total": 0,
+                  "tokens_per_s": 0.0}
+    for i in range(3):
+        engine.submit(*requests[i])
+    assert engine.telemetry()["queue_depth"] == 3
+    engine.step()  # admit one
+    t1 = engine.telemetry()
+    assert t1["active_slots"] == 1 and t1["queue_depth"] == 2
+    assert t1["emitted_tokens_total"] == 1  # prefill emits the first token
+    saw_rate = False
+    while engine._queue or engine._by_slot:
+        engine.step()
+        saw_rate = saw_rate or engine.telemetry()["tokens_per_s"] > 0
+    tf = engine.telemetry()
+    assert tf["completed_requests"] == 3
+    assert tf["emitted_tokens_total"] == 3 * MAX_NEW
+    assert tf["active_slots"] == 0 and tf["queue_depth"] == 0
+    assert saw_rate, "tokens_per_s never went positive while decoding"

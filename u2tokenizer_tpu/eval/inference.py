@@ -152,9 +152,18 @@ class U2InferenceModel:
         path (the reference generate's vision_input=None branch)."""
         jnp = self._jnp
         with_image = image is not None
+        images = None
+        if with_image:
+            arr = np.asarray(image)
+            expected = (self.cfg.num_chunks, *self.cfg.vision.input_spatial)
+            if tuple(arr.shape) != expected:
+                raise ValueError(
+                    f"volume shape {tuple(arr.shape)} does not match the "
+                    f"model's chunk geometry {expected}; preprocess with "
+                    "U2VolumeTransform (serve handles .nii/.nii.gz "
+                    "automatically; .npy must already be chunked)")
+            images = jnp.asarray(arr[None], jnp.float32)
         input_id, qids, plen = self._encode_prompt(question, with_image)
-        images = (jnp.asarray(np.asarray(image)[None], jnp.float32)
-                  if with_image else None)
         self._rng, sub = self._jax.random.split(self._rng)
         toks = self._gen_fn(self.params, jnp.asarray(input_id[None]),
                             images, jnp.asarray(qids[None]),

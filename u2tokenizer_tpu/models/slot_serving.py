@@ -22,6 +22,7 @@ everyone; finished rows (EOS / max_new_tokens) free their slot.
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import deque
 from typing import Any, Dict, List, Optional
 
@@ -356,6 +357,31 @@ class Engine:
         self.spec_mode = "spec" if self.speculative else "plain"
         self._accept_window: deque = deque(maxlen=spec_window)
         self._plain_dispatches = 0
+        # engine telemetry: cumulative counters + a sliding window of
+        # (monotonic time, cumulative emitted tokens) samples, one per
+        # scheduler tick, for the live tokens/s rate
+        self._emitted_total = 0
+        self._completed = 0
+        self._rate_window: deque = deque(maxlen=256)
+
+    def telemetry(self) -> Dict[str, Any]:
+        """Live engine stats (served at GET /v1/config as ``engine``).
+        ``tokens_per_s`` is measured over the last ≤10 s of scheduler
+        ticks and reads 0 when the engine has been idle that long."""
+        now = time.monotonic()
+        recent = [(t, n) for t, n in self._rate_window if now - t <= 10.0]
+        rate = 0.0
+        if len(recent) >= 2 and recent[-1][0] > recent[0][0]:
+            rate = ((recent[-1][1] - recent[0][1])
+                    / (recent[-1][0] - recent[0][0]))
+        return {
+            "queue_depth": len(self._queue),
+            "active_slots": len(self._by_slot),
+            "num_slots": self.num_slots,
+            "completed_requests": self._completed,
+            "emitted_tokens_total": self._emitted_total,
+            "tokens_per_s": round(rate, 1),
+        }
 
     def _adapt(self, emitted: int, slot_steps: int) -> None:
         """Update the sliding acceptance window after a SPEC dispatch and
@@ -423,6 +449,7 @@ class Engine:
 
     def _append(self, req: _Request, tok: int) -> None:
         req.tokens.append(tok)
+        self._emitted_total += 1
         if tok == self.gen.eos_token_id or \
                 len(req.tokens) >= self.gen.max_new_tokens:
             req.finished = True
@@ -430,6 +457,7 @@ class Engine:
     def _collect_finished(self):
         for slot, req in list(self._by_slot.items()):
             if req.finished:
+                self._completed += 1
                 self._results[req.rid] = req.tokens
                 self.state = dataclasses.replace(
                     self.state,
@@ -439,6 +467,7 @@ class Engine:
 
     def step(self) -> bool:
         """One scheduler tick; returns False when fully idle."""
+        self._rate_window.append((time.monotonic(), self._emitted_total))
         self._collect_finished()
         free = self._free_slots()
         if self._queue and free:
@@ -507,6 +536,22 @@ class Engine:
             self.step()
         return dict(self._results)
 
+    def abort_all(self) -> List[int]:
+        """Drop every queued and in-flight request and free their slots;
+        returns the affected rids. Completed results in ``_results`` are
+        preserved. Used by the serving driver to recover from a step
+        failure without restarting the engine."""
+        rids = ([r.rid for r in self._queue]
+                + [r.rid for r in self._by_slot.values()])
+        self._queue.clear()
+        for slot in list(self._by_slot):
+            self.state = dataclasses.replace(
+                self.state,
+                active=self.state.active.at[slot].set(False),
+                done=self.state.done.at[slot].set(False))
+            del self._by_slot[slot]
+        return rids
+
 
 class EngineInference:
     """Thread-safe, concurrent drop-in for eval.inference.U2InferenceModel:
@@ -551,6 +596,7 @@ class EngineInference:
         self._submit_q: "queue.Queue" = queue.Queue()
         self._cv = threading.Condition()
         self._results: Dict[int, List[int]] = {}
+        self._errors: Dict[int, str] = {}      # local -> failure message
         self._pending_map: Dict[int, int] = {}
         self._streams: Dict[int, "queue.Queue"] = {}  # local -> token queue
         self._sent: Dict[int, int] = {}               # rid -> tokens pushed
@@ -571,6 +617,12 @@ class EngineInference:
     def spec_mode(self) -> str:
         return self.engine.spec_mode
 
+    @property
+    def telemetry(self) -> Dict[str, Any]:
+        t = self.engine.telemetry()
+        t["pending_submits"] = self._submit_q.qsize()
+        return t
+
     def _push_stream(self, local: int, tokens: List[int], start: int,
                      done: bool):
         q = self._streams.get(local)
@@ -582,42 +634,70 @@ class EngineInference:
             q.put(None)
             self._streams.pop(local, None)
 
+    def _fail_local(self, local: int, msg: str) -> None:
+        """Deliver a failure to one caller: wakes a blocked inference()
+        (which raises) and terminates its stream if it was streaming."""
+        with self._cv:
+            self._errors[local] = msg
+            self._cv.notify_all()
+        q = self._streams.pop(local, None)
+        if q is not None:
+            q.put(None)
+
     def _drive(self):
         import queue
         import time as _time
+        import traceback
 
         while True:
             moved = False
             try:
                 while True:
                     local, ids, images, qids = self._submit_q.get_nowait()
-                    rid = self.engine.submit(ids, images, qids)
-                    self._pending_map[rid] = local
                     moved = True
+                    try:
+                        rid = self.engine.submit(ids, images, qids)
+                    except Exception as e:  # noqa: BLE001 — one bad request
+                        # must not kill the driver thread; fail that caller
+                        self._fail_local(local, f"{type(e).__name__}: {e}")
+                    else:
+                        self._pending_map[rid] = local
             except queue.Empty:
                 pass
             if self.engine._queue or self.engine._by_slot:
-                self.engine.step()
                 moved = True
-                # incremental token delivery for streaming callers
-                for slot, req in list(self.engine._by_slot.items()):
-                    local = self._pending_map.get(req.rid)
-                    if local is not None and local in self._streams:
-                        sent = self._sent.get(req.rid, 0)
-                        self._push_stream(local, req.tokens, sent, False)
-                        self._sent[req.rid] = len(req.tokens)
-                if self.engine._results:
-                    with self._cv:
-                        for rid in list(self.engine._results):
-                            local = self._pending_map.pop(rid)
-                            toks = self.engine._results.pop(rid)
-                            if local in self._streams:
-                                self._push_stream(
-                                    local, toks,
-                                    self._sent.pop(rid, 0), True)
-                            else:
-                                self._results[local] = toks
-                        self._cv.notify_all()
+                try:
+                    self.engine.step()
+                    # incremental token delivery for streaming callers
+                    for slot, req in list(self.engine._by_slot.items()):
+                        local = self._pending_map.get(req.rid)
+                        if local is not None and local in self._streams:
+                            sent = self._sent.get(req.rid, 0)
+                            self._push_stream(local, req.tokens, sent, False)
+                            self._sent[req.rid] = len(req.tokens)
+                    if self.engine._results:
+                        with self._cv:
+                            for rid in list(self.engine._results):
+                                local = self._pending_map.pop(rid)
+                                toks = self.engine._results.pop(rid)
+                                if local in self._streams:
+                                    self._push_stream(
+                                        local, toks,
+                                        self._sent.pop(rid, 0), True)
+                                else:
+                                    self._results[local] = toks
+                            self._cv.notify_all()
+                except Exception as e:  # noqa: BLE001
+                    # a step failure poisons every in-flight request but
+                    # must not kill the driver: abort them with the error,
+                    # free the slots, keep serving new submissions
+                    traceback.print_exc()
+                    for rid in self.engine.abort_all():
+                        lcl = self._pending_map.pop(rid, None)
+                        self._sent.pop(rid, None)
+                        if lcl is not None:
+                            self._fail_local(
+                                lcl, f"{type(e).__name__}: {e}")
             if not moved:
                 _time.sleep(0.002)
 
@@ -638,10 +718,20 @@ class EngineInference:
         import queue
 
         with_image = image is not None
-        ids, qids = self._encode_prompt(question, with_image)
         images = None
         if with_image:
-            images = jnp.asarray(np.asarray(image)[None], jnp.float32)
+            arr = np.asarray(image)
+            expected = (self.cfg.num_chunks, *self.cfg.vision.input_spatial)
+            if tuple(arr.shape) != expected:
+                # reject in the caller's thread with an actionable message
+                # (a bad shape must never reach the engine thread)
+                raise ValueError(
+                    f"volume shape {tuple(arr.shape)} does not match the "
+                    f"model's chunk geometry {expected}; preprocess with "
+                    "U2VolumeTransform (serve handles .nii/.nii.gz "
+                    "automatically; .npy must already be chunked)")
+            images = jnp.asarray(arr[None], jnp.float32)
+        ids, qids = self._encode_prompt(question, with_image)
         with self._lock:
             local = self._next_local
             self._next_local += 1
@@ -655,8 +745,10 @@ class EngineInference:
         """Blocking per-caller; concurrent across callers."""
         local = self._submit_local(image, question, stream=False)
         with self._cv:
-            while local not in self._results:
+            while local not in self._results and local not in self._errors:
                 self._cv.wait(timeout=1.0)
+            if local in self._errors:
+                raise RuntimeError(self._errors.pop(local))
             toks = self._results.pop(local)
         keep = [t for t in toks if t not in (self.gen_cfg.pad_token_id,
                                              self.gen_cfg.eos_token_id)]
@@ -674,6 +766,10 @@ class EngineInference:
         while True:
             t = q.get()
             if t is None:
+                with self._cv:
+                    err = self._errors.pop(local, None)
+                if err is not None:
+                    raise RuntimeError(err)
                 break
             if t in skip:
                 continue

@@ -436,6 +436,9 @@ def make_handler(server: U2Server):
                 mode = getattr(m, "spec_mode", None)
                 if payload["speculative"] and mode is not None:
                     payload["spec_mode"] = mode
+                tele = getattr(m, "telemetry", None)
+                if isinstance(tele, dict):  # slot engine live stats
+                    payload["engine"] = tele
                 self._send(200, payload)
             elif self.path.startswith("/v1/volume/"):
                 # /v1/volume/<id>/slice/<index> -> PNG
@@ -524,6 +527,8 @@ def make_handler(server: U2Server):
                     self._send(404, {"error": "not found"})
             except FileNotFoundError as e:
                 self._send(404, {"error": str(e)})
+            except ValueError as e:  # bad request (e.g. volume shape)
+                self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — surface to client
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
