@@ -50,6 +50,11 @@ JUDGE_PROMPT = int(os.environ.get("PG_JUDGE_PROMPT", "2048"))
 JUDGE_BATCH = int(os.environ.get("PG_JUDGE_BATCH", "16"))
 STAGE = os.environ.get("PG_STAGE", "report")
 STATE = os.environ.get("PG_STATE", "/tmp/pred_green_state.json")
+# shared-prefix fan-out decode (prefill once per case, joint-softmax decode
+# against the case-shared prompt KV) — exact same output distribution as
+# the tiled path (tests/test_fanout.py); PG_FANOUT=0 measures the old
+# tile-everything baseline for comparison
+FANOUT = os.environ.get("PG_FANOUT", "1") == "1"
 
 
 def log(*a):
@@ -88,9 +93,10 @@ def stage_predict():
     # volumes and tiling the embeddings.
     images = jax.random.normal(rng, (CASES, cfg.num_chunks, d, h, w),
                                jnp.bfloat16)
-    input_ids = jnp.zeros((b_pred, 1024), jnp.int32)
-    question_ids = jnp.ones((b_pred, 64), jnp.int32)
-    prompt_len = jnp.full((b_pred,), 1024, jnp.int32)
+    # per-CASE inputs; the tiled path repeats rows, the fan-out path shares
+    input_ids = jnp.zeros((CASES, 1024), jnp.int32)
+    question_ids = jnp.ones((CASES, 64), jnp.int32)
+    prompt_len = jnp.full((CASES,), 1024, jnp.int32)
 
     log(f"stage1: init 1.7B int8 ({CASES} cases x {N_SAMPLES} samples)")
     params = jax.jit(lambda r: model.init(
@@ -105,20 +111,32 @@ def stage_predict():
     gen = GenerationConfig(max_new_tokens=PRED_TOKENS, do_sample=True,
                            top_p=0.9, eos_token_id=-2, pad_token_id=0)
 
-    def predict(params, input_ids, images, question_ids, prompt_len, rng):
-        # encode CASES volumes once, tile to CASES*N_SAMPLES rows
-        from u2tokenizer_tpu.models.generate import (_microbatched_embeds,
-                                                     make_generate_fn)
+    if FANOUT:
+        # shared-prefix fan-out: vision encode AND prefill once per case;
+        # the decode attends [case-shared prompt KV ; per-row suffix] with
+        # a joint softmax — prompt-KV HBM traffic and prefill FLOPs divided
+        # by N_SAMPLES, output distribution identical (tests/test_fanout.py)
+        from u2tokenizer_tpu.models.generate import (
+            make_fanout_multimodal_generate_fn)
+        predict = make_fanout_multimodal_generate_fn(
+            model, gen, N_SAMPLES, cache_dtype="int8")
+        log("stage1: compiling fan-out sampled generate (shared prefix)")
+    else:
+        def predict(params, input_ids, images, question_ids, prompt_len,
+                    rng):
+            # encode CASES volumes once, tile to CASES*N_SAMPLES rows
+            from u2tokenizer_tpu.models.generate import (_microbatched_embeds,
+                                                         make_generate_fn)
 
-        embeds_c = _microbatched_embeds(
-            model, params, input_ids[:CASES], images, question_ids[:CASES],
-            128)
-        embeds = jnp.repeat(embeds_c, N_SAMPLES, axis=0)
-        return make_generate_fn(model, gen, cache_dtype="int8")(
-            params, embeds, prompt_len, rng)
+            embeds_c = _microbatched_embeds(
+                model, params, input_ids, images, question_ids, 128)
+            embeds = jnp.repeat(embeds_c, N_SAMPLES, axis=0)
+            return make_generate_fn(model, gen, cache_dtype="int8")(
+                params, embeds,
+                jnp.repeat(prompt_len, N_SAMPLES, axis=0), rng)
 
-    predict = jax.jit(predict)
-    log("stage1: compiling sampled generate (bucketed top-p warp)")
+        predict = jax.jit(predict)
+        log("stage1: compiling sampled generate (bucketed top-p warp)")
     t0 = time.time()
     np.asarray(predict(params, input_ids, images, question_ids, prompt_len,
                        jax.random.PRNGKey(1)))
@@ -128,8 +146,10 @@ def stage_predict():
                    jax.random.PRNGKey(2))
     np.asarray(toks)
     predict_s = time.time() - t0
-    log(f"stage1: {predict_s:.1f}s for {b_pred} sampled predictions")
+    log(f"stage1: {predict_s:.1f}s for {b_pred} sampled predictions "
+        f"({'fan-out shared prefix' if FANOUT else 'tiled rows'})")
     _save("predict_s", predict_s)
+    _save("predict_mode", "fanout" if FANOUT else "tiled")
 
 
 def stage_judge():
@@ -219,6 +239,7 @@ def report():
             "predict_tokens": PRED_TOKENS, "judge_tokens": JUDGE_TOKENS,
             "judge_model": "phi2-2.7B-geometry int8 (GREEN-RadPhi2 class)",
             "judge_accept_per_step": round(r["judge_accept"], 2),
+            "predict_mode": r.get("predict_mode", "tiled"),
             "policy": "u2-qwen3-1.7b int8, nucleus top-p 0.9 via the "
                       "bucketed warp, vision encoded once per case",
         },

@@ -283,6 +283,7 @@ def cmd_generate(args):
         max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
         top_p=args.top_p, eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id or 0)
+    fan_fn = None
     if getattr(args, "speculative", False):
         # n-gram-drafted decode: greedy-exact / distribution-preserving,
         # faster on template-heavy report sampling (models/speculative.py)
@@ -291,6 +292,14 @@ def cmd_generate(args):
         gen_fn = make_spec_multimodal_generate_fn(model, gen)
     else:
         gen_fn = make_multimodal_generate_fn(model, gen)
+        if args.do_sample and args.num_samples > 1:
+            # all n samples of a case decode in ONE device call against a
+            # case-shared prompt prefix (vision encode + prefill once;
+            # identical output distribution — models/generate.py fan-out)
+            from .models.generate import make_fanout_multimodal_generate_fn
+
+            fan_fn = make_fanout_multimodal_generate_fn(
+                model, gen, args.num_samples)
 
     params = _init_or_load(args, model, cfg, ds)
 
@@ -301,20 +310,30 @@ def cmd_generate(args):
             s = ds[idx]
             if s is None:
                 continue
-            preds = []
-            for k in range(args.num_samples):
+            decode_row = lambda row: tokenizer.decode(
+                [t for t in row
+                 if t not in (gen.pad_token_id, tokenizer.eos_token_id)],
+                skip_special_tokens=True)
+            ids = jnp.asarray(s["input_id"][None])
+            plen = jnp.asarray([int(s["attention_mask"].sum())])
+            if fan_fn is not None:
                 rng, sub = jax.random.split(rng)
-                ids = jnp.asarray(s["input_id"][None])
-                toks = gen_fn(params, ids, jnp.asarray(s["image"][None]),
-                              jnp.asarray(s["question_ids"][None]),
-                              jnp.asarray([int(s["attention_mask"].sum())]),
-                              sub)
-                text = tokenizer.decode(
-                    [t for t in np.asarray(toks)[0]
-                     if t not in (gen.pad_token_id, tokenizer.eos_token_id)],
-                    skip_special_tokens=True)
-                if check_report_validity(text) or k == args.num_samples - 1:
-                    preds.append(text)
+                toks = fan_fn(params, ids, jnp.asarray(s["image"][None]),
+                              jnp.asarray(s["question_ids"][None]), plen, sub)
+                texts = [decode_row(row) for row in np.asarray(toks)]
+                preds = ([t for t in texts if check_report_validity(t)]
+                         or [texts[-1]])
+            else:
+                preds = []
+                for k in range(args.num_samples):
+                    rng, sub = jax.random.split(rng)
+                    toks = gen_fn(params, ids, jnp.asarray(s["image"][None]),
+                                  jnp.asarray(s["question_ids"][None]),
+                                  plen, sub)
+                    text = decode_row(np.asarray(toks)[0])
+                    if (check_report_validity(text)
+                            or k == args.num_samples - 1):
+                        preds.append(text)
             row = {"image": s["image_path"], "question": s["prompt_question"],
                    "answer": s["answer"], "predictions": preds}
             f.write(json.dumps(row) + "\n")

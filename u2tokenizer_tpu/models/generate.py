@@ -147,6 +147,116 @@ def make_generate_fn(
     return generate
 
 
+def make_fanout_generate_fn(
+    model,
+    gen: GenerationConfig,
+    n_samples: int,
+    cache_dtype=jnp.bfloat16,
+) -> Callable:
+    """Multi-sample generation with a case-SHARED prompt prefix.
+
+    The GREEN/DPO protocol draws num_return_sequences=8 completions from the
+    same prompt (green_refactored/pred_then_green.py:77, lu2_model.py:63).
+    Tiling the prompt 8x makes both the prefill and every decode step redo
+    identical work: the prefill runs 8 identical rows, and the decode loop
+    re-reads 8 identical copies of the prompt KV from HBM each step — the
+    dominant decode traffic at S=1024 (the suffix starts empty and grows to
+    only max_new slots).
+
+    This path prefills ONCE per case into a (C, ..., S) prefix cache, then
+    decodes C*n_samples rows against [shared prefix ; per-row suffix] with a
+    joint softmax (ops/attention.gqa_sdpa_fanout) — mathematically identical
+    to the tiled computation, with prefill FLOPs and prompt-KV HBM traffic
+    divided by n_samples.
+
+    generate(params, inputs_embeds, prompt_len, rng):
+      inputs_embeds (C, S, E), prompt_len (C,) -> (C*n_samples, max_new)
+      tokens; row c*n_samples + j is sample j of case c.
+    """
+    llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
+    n = n_samples
+
+    def generate(params, inputs_embeds, prompt_len, rng):
+        c, s, _ = inputs_embeds.shape
+        b = c * n
+        prompt_len = prompt_len.astype(jnp.int32)
+        prefix = KVCache.create(llm_cfg, c, s, cache_dtype)
+
+        # --- prefill once per case (batch C, not C*n) ---
+        att = (jnp.arange(s)[None, :] < prompt_len[:, None]).astype(jnp.int32)
+        mask = causal_padding_mask(att)
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (c, s))
+        _, hidden, prefix = model.apply(
+            params, inputs_embeds, attention_mask=None, cache=prefix,
+            write_index=jnp.int32(0), positions=positions, mask=mask,
+            lens=prompt_len, compute_logits=False, method="forward_embeds")
+        last_hidden = jnp.take_along_axis(
+            hidden, (prompt_len - 1)[:, None, None], axis=1)
+        last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
+
+        # --- fan out: n sample rows per case (jnp.repeat row grouping) ---
+        last = jnp.repeat(last, n, axis=0)                  # (B, V)
+        plen = jnp.repeat(prompt_len, n, axis=0)            # (B,)
+        rng, sub = jax.random.split(rng)
+        tok0 = sample(sub, last, do_sample=gen.do_sample,
+                      temperature=gen.temperature, top_p=gen.top_p)
+        done0 = tok0 == gen.eos_token_id
+
+        suffix = KVCache.create(llm_cfg, b, gen.max_new_tokens, cache_dtype)
+        prefix_mask = jnp.arange(s)[None, :] < prompt_len[:, None]  # (C, S)
+        suf_pos = jnp.arange(gen.max_new_tokens, dtype=jnp.int32)
+
+        def step(carry, i):
+            cache, tok, done, rng = carry
+            rng, sub = jax.random.split(rng)
+            emb = model.apply(params, tok[:, None], method="embed_tokens")
+            pos = (plen + i)[:, None]
+            # suffix keys: slots [0, i] are written (token j at slot j)
+            mask_s = jnp.broadcast_to(
+                (suf_pos <= i)[None, None, None, :],
+                (b, 1, 1, gen.max_new_tokens))
+            logits, _, cache = model.apply(
+                params, emb, pos, mask_s, cache, i,
+                prefix_cache=prefix, prefix_mask=prefix_mask,
+                method="decode_step")
+            nxt = sample(sub, logits[:, 0], do_sample=gen.do_sample,
+                         temperature=gen.temperature, top_p=gen.top_p)
+            nxt = jnp.where(done, jnp.int32(gen.pad_token_id), nxt)
+            done = done | (nxt == gen.eos_token_id)
+            return (cache, nxt, done, rng), nxt
+
+        (_, _, _, _), rest = jax.lax.scan(
+            step, (suffix, tok0, done0, rng),
+            jnp.arange(gen.max_new_tokens - 1, dtype=jnp.int32))
+        return jnp.concatenate([tok0[:, None], rest.T], axis=1)
+
+    return generate
+
+
+def make_fanout_multimodal_generate_fn(
+    model: U2CausalLM,
+    gen: GenerationConfig,
+    n_samples: int,
+    cache_dtype=jnp.bfloat16,
+    jit: bool = True,
+    vision_microbatch: int = 128,
+) -> Callable:
+    """Fan-out counterpart of make_multimodal_generate_fn: the vision
+    encode, μ²tokenizer fuse, splice AND prefill all run once per case;
+    only the decode fans out to n_samples rows. Inputs are per-CASE
+    (batch C); returns (C*n_samples, max_new) tokens."""
+    gen_fn = make_fanout_generate_fn(model, gen, n_samples, cache_dtype)
+
+    def generate(params, input_ids, images, question_ids, prompt_len, rng):
+        embeds = _microbatched_embeds(model, params, input_ids, images,
+                                      question_ids, vision_microbatch)
+        return gen_fn(params, embeds, prompt_len, rng)
+
+    if jit:
+        generate = jax.jit(generate)
+    return generate
+
+
 def make_seg_generate_fn(
     model: U2CausalLM,
     gen: GenerationConfig,

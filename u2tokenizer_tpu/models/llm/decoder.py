@@ -25,7 +25,7 @@ from flax import linen as nn
 from flax import struct
 
 from ...config import LLMConfig
-from ...ops.attention import (gqa_sdpa, gqa_sdpa_headmajor,
+from ...ops.attention import (gqa_sdpa, gqa_sdpa_fanout, gqa_sdpa_headmajor,
                               gqa_sdpa_quantized, quantize_kv)
 from ...ops.decode_attention import decode_attention_int8
 from ...ops.flash_attention import flash_attention
@@ -183,6 +183,10 @@ class Attention(nn.Module):
         write_index: Optional[jax.Array] = None,  # scalar int32: cache write offset
         lens: Optional[jax.Array] = None,  # (B,) right-pad valid lengths
         decode_bounds=None,  # (prompt_len (B,), end (B,), s_prompt int)
+        prefix_kv=None,      # (pk, pv, pk_scale, pv_scale) at batch C = B/n:
+        #   fan-out decode — a prompt prefix SHARED by groups of n rows
+        #   (ops/attention.gqa_sdpa_fanout); cache_kv holds only the suffix
+        prefix_mask=None,    # (C, Sp) valid prefix keys
     ):
         cfg = self.cfg
         b, s, _ = x.shape
@@ -275,7 +279,15 @@ class Attention(nn.Module):
         use_flash = (cfg.use_flash_attention and lens is not None and s > 1
                      and k_att.shape[1] == s
                      and jax.default_backend() == "tpu")
-        if quantized_decode:
+        if prefix_kv is not None and cached_decode:
+            # fan-out decode: joint softmax over the case-shared prefix and
+            # the per-row suffix cache; the prefix streams once per case
+            pk_b, pv_b, pks, pvs_ = prefix_kv
+            out = gqa_sdpa_fanout(
+                q, pk_b, pv_b, k_att, v_att,
+                pk_scale=pks, pv_scale=pvs_, sk_scale=ks, sv_scale=vs,
+                prefix_mask=prefix_mask, suffix_mask=mask)
+        elif quantized_decode:
             if (s == 1 and decode_bounds is not None
                     and k_att.dtype == jnp.int8  # pallas kernel is int8-only
                     and cfg.use_flash_attention
@@ -327,10 +339,12 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, mask, cache_kv=None, write_index=None,
-                 lens=None, decode_bounds=None):
+                 lens=None, decode_bounds=None, prefix_kv=None,
+                 prefix_mask=None):
         y = make_norm(self.cfg, self.dtype, "input_layernorm")(x)
         attn_out, new_cache = Attention(self.cfg, self.dtype, name="self_attn")(
-            y, positions, mask, cache_kv, write_index, lens, decode_bounds)
+            y, positions, mask, cache_kv, write_index, lens, decode_bounds,
+            prefix_kv, prefix_mask)
         if self.cfg.parallel_block:
             # Phi-2: attention and MLP both read the same pre-LN activations
             x = x + attn_out + MLP(self.cfg, self.dtype, name="mlp")(y)
@@ -400,6 +414,8 @@ class DecoderModel(nn.Module):
         write_index: Optional[jax.Array] = None,
         lens: Optional[jax.Array] = None,
         decode_bounds=None,
+        prefix_cache: Optional[KVCache] = None,
+        prefix_mask: Optional[jax.Array] = None,
     ):
         x = inputs_embeds.astype(self.dtype)
         new_k, new_v, new_ks, new_vs = [], [], [], []
@@ -410,8 +426,14 @@ class DecoderModel(nn.Module):
                 cache_kv = (cache.k[i], cache.v[i],
                             cache.k_scale[i] if cache.k_scale else None,
                             cache.v_scale[i] if cache.v_scale else None)
+            prefix_kv = None
+            if prefix_cache is not None:
+                prefix_kv = (
+                    prefix_cache.k[i], prefix_cache.v[i],
+                    prefix_cache.k_scale[i] if prefix_cache.k_scale else None,
+                    prefix_cache.v_scale[i] if prefix_cache.v_scale else None)
             x, new_cache = layer(x, positions, mask, cache_kv, write_index,
-                                 lens, decode_bounds)
+                                 lens, decode_bounds, prefix_kv, prefix_mask)
             if new_cache is not None:
                 new_k.append(new_cache[0])
                 new_v.append(new_cache[1])
@@ -475,9 +497,10 @@ class CausalLM(nn.Module):
                     compute_logits)
 
     def decode_step(self, token_embeds, positions, mask, cache, write_index,
-                    decode_bounds=None):
+                    decode_bounds=None, prefix_cache=None, prefix_mask=None):
         return self(token_embeds, positions, mask, cache, write_index,
-                    decode_bounds=decode_bounds)
+                    decode_bounds=decode_bounds, prefix_cache=prefix_cache,
+                    prefix_mask=prefix_mask)
 
     def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """Project hidden states to vocabulary logits (fp32)."""
@@ -501,10 +524,13 @@ class CausalLM(nn.Module):
         lens: Optional[jax.Array] = None,
         compute_logits: bool = True,
         decode_bounds=None,
+        prefix_cache: Optional[KVCache] = None,
+        prefix_mask: Optional[jax.Array] = None,
     ):
         hidden, out_cache = self.model(inputs_embeds, positions, mask,
                                        cache, write_index, lens,
-                                       decode_bounds)
+                                       decode_bounds, prefix_cache,
+                                       prefix_mask)
         # compute_logits=False skips the (B, S, vocab) projection — the
         # generation prefill only samples one position, and a full-sequence
         # fp32 logits tensor is the dominant prefill memory (OOM at B=16).

@@ -158,6 +158,87 @@ def gqa_sdpa_headmajor(
     return out.reshape(b, sq, h, d)
 
 
+def gqa_sdpa_fanout(
+    q: jax.Array,             # (B, Sq, H, D) with B = C * fanout
+    pk: jax.Array,            # (C, Hkv, Sp, D) shared prefix keys
+    pv: jax.Array,            # (C, Hkv, Sp, D)
+    sk: jax.Array,            # (B, Hkv, St, D) per-row suffix keys
+    sv: jax.Array,            # (B, Hkv, St, D)
+    *,
+    pk_scale: Optional[jax.Array] = None,   # (C, Hkv, Sp) int8/int4 scales
+    pv_scale: Optional[jax.Array] = None,
+    sk_scale: Optional[jax.Array] = None,   # (B, Hkv, St)
+    sv_scale: Optional[jax.Array] = None,
+    prefix_mask: Optional[jax.Array] = None,  # (C, Sp) valid prefix keys
+    suffix_mask: Optional[jax.Array] = None,  # bcast to (B, H, Sq, St)
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """GQA attention over a FAN-OUT-SHARED prefix cache plus a per-row
+    suffix cache, with one joint softmax — mathematically identical to
+    attending the concatenated [prefix ; suffix] cache, but the prefix
+    K/V are stored (and streamed from HBM) once per *case* instead of once
+    per sample row.
+
+    Motivation: the GREEN/DPO protocol samples N=8 completions from the
+    SAME multimodal prompt (green_refactored/pred_then_green.py:77,
+    num_return_sequences=8). Tiling the prompt KV N× makes the decode loop
+    read N identical copies every step; at S=1024/B=64 the prompt KV is the
+    dominant decode HBM traffic. Sharing it turns O(C·N·Sp) reads into
+    O(C·Sp).
+
+    Shapes: q rows are grouped per case — row c*fanout+j is sample j of
+    case c (jnp.repeat(x, fanout, axis=0) layout). Either cache may be
+    int8/int4-quantized (pass its scales); scales factor out of the dots
+    exactly as in gqa_sdpa_quantized.
+    """
+    b, sq, h, d = q.shape
+    c, hkv, sp = pk.shape[0], pk.shape[1], pk.shape[2]
+    st = sk.shape[2]
+    fanout = b // c
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    group = h // hkv
+    neg = jnp.finfo(jnp.float32).min
+
+    # -- prefix scores: q regrouped (C, n, Sq, Hkv, G, D) against (C, ...) --
+    qg = q.reshape(c, fanout, sq, hkv, group, d)
+    ps = jnp.einsum("cnqhgd,chkd->cnhgqk", qg,
+                    pk.astype(q.dtype)) * jnp.asarray(scale, q.dtype)
+    if pk_scale is not None:
+        ps = ps * pk_scale.astype(q.dtype)[:, None, :, None, None, :]
+    ps = ps.astype(jnp.float32)
+    if prefix_mask is not None:
+        ps = jnp.where(prefix_mask[:, None, None, None, None, :], ps, neg)
+    ps = ps.reshape(b, hkv, group, sq, sp)
+
+    # -- suffix scores: standard head-major per-row path --
+    qs = q.reshape(b, sq, hkv, group, d)
+    ss = jnp.einsum("bqhgd,bhkd->bhgqk", qs,
+                    sk.astype(q.dtype)) * jnp.asarray(scale, q.dtype)
+    if sk_scale is not None:
+        ss = ss * sk_scale.astype(q.dtype)[:, :, None, None, :]
+    ss = ss.astype(jnp.float32)
+    if suffix_mask is not None:
+        m = jnp.broadcast_to(suffix_mask, (b, h, sq, st)).reshape(
+            b, hkv, group, sq, st)
+        ss = jnp.where(m, ss, neg)
+
+    # -- joint softmax over [prefix ; suffix] keys --
+    probs = jax.nn.softmax(
+        jnp.concatenate([ps, ss], axis=-1), axis=-1).astype(q.dtype)
+    pp, sp_probs = probs[..., :sp], probs[..., sp:]
+
+    # fold per-key v scales into the probabilities (prefix regrouped per case)
+    ppg = pp.reshape(c, fanout, hkv, group, sq, sp)
+    if pv_scale is not None:
+        ppg = ppg * pv_scale.astype(q.dtype)[:, None, :, None, None, :]
+    out_p = jnp.einsum("cnhgqk,chkd->cnqhgd", ppg, pv.astype(q.dtype))
+    if sv_scale is not None:
+        sp_probs = sp_probs * sv_scale.astype(q.dtype)[:, :, None, None, :]
+    out_s = jnp.einsum("bhgqk,bhkd->bqhgd", sp_probs, sv.astype(q.dtype))
+    return out_p.reshape(b, sq, h, d) + out_s.reshape(b, sq, h, d)
+
+
 def gqa_sdpa_quantized(
     q: jax.Array,            # (B, Sq, H, D)
     k_int: jax.Array,        # (B, Hkv, Sk, D) int8 — head-major cache layout
