@@ -133,11 +133,19 @@ def cmd_train(args):
                         process_index=jax.process_index(),
                         process_count=jax.process_count())
 
+    steps_per_epoch = len(loader)
+    total = tcfg.max_steps or int(steps_per_epoch * tcfg.num_epochs)
+
+    if getattr(args, "qlora", "off") != "off":
+        # quantized-base LoRA: 8B SFT on a single 16 GB chip
+        # (train/lora.py qlora_*; the sharded trainer path below keeps the
+        # float base for multi-chip runs)
+        _run_qlora_training(args, cfg, tcfg, loader, total, steps_per_epoch)
+        return
+
     model = U2CausalLM(cfg, dtype=jnp.bfloat16 if tcfg.bf16 else jnp.float32,
                        remat=tcfg.remat)
     mesh = make_mesh(tcfg.mesh)
-    steps_per_epoch = len(loader)
-    total = tcfg.max_steps or int(steps_per_epoch * tcfg.num_epochs)
     tx = make_optimizer(tcfg, total)
 
     sample = next(iter(loader))
@@ -158,8 +166,8 @@ def cmd_train(args):
     print("training complete", file=sys.stderr)
 
 
-def _load_pretrained_into_state(path, cfg, state):
-    """Load converted HF/u2 weights into the initialized TrainState.
+def _load_pretrained_params(path, cfg):
+    """Load converted HF/u2 float weights as a param tree.
     Accepts an HF-layout checkpoint (safetensors dir / pytorch_model.bin)
     or a directory produced by ``cli convert-checkpoint``."""
     from .models.hf_weights import (convert_u2_checkpoint, load_safetensors_dir,
@@ -170,14 +178,117 @@ def _load_pretrained_into_state(path, cfg, state):
         from flax import serialization
 
         with open(os.path.join(path, "u2_params.msgpack"), "rb") as f:
-            params = serialization.msgpack_restore(f.read())
-        return state.replace(params=params)
+            return serialization.msgpack_restore(f.read())
     if os.path.isdir(path):
         sd = load_safetensors_dir(path)
     else:
         sd = load_torch_bin(path)
-    params = convert_u2_checkpoint(sd, cfg)
-    return state.replace(params=params)
+    return convert_u2_checkpoint(sd, cfg)
+
+
+def _load_pretrained_into_state(path, cfg, state):
+    return state.replace(params=_load_pretrained_params(path, cfg))
+
+
+def _run_qlora_training(args, cfg, tcfg, loader, total_steps,
+                        steps_per_epoch):
+    """Single-host QLoRA SFT: decoder base weights quantized (int8/int4)
+    and frozen, fp32 LoRA adapters on the decoder linears, μ²tokenizer +
+    projector full-rank trainable in bf16 (adafactor). Fits μ²Qwen3-8B
+    stage 1 on one 16 GB chip where the reference needs 4x80 GB A100
+    (/root/reference/README.md:63). The frozen base is NOT checkpointed —
+    resume re-derives it from --pretrained (or the seed) and the identical
+    deterministic quantization; only adapters + multimodal modules +
+    optimizer state land in the orbax checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from .models.quantize import quantize_llm_weights
+    from .models.u2_model import U2CausalLM
+    from .train.loop import MetricLogger, run_training
+    from .train.lora import (init_qlora_from_quantized,
+                             make_qlora_train_step, qlora_config,
+                             qlora_merge_trees, qlora_partition)
+    from .train.sft import TrainState, make_loss_fn
+
+    dtype = jnp.bfloat16 if tcfg.bf16 else jnp.float32
+    qcfg = qlora_config(cfg, rank=args.lora_rank, alpha=args.lora_alpha,
+                        mode=args.qlora)
+    model = U2CausalLM(qcfg, dtype=dtype, remat=tcfg.remat)
+    sample = next(iter(loader))
+    ids = jnp.asarray(sample["input_ids"])
+    images = jnp.asarray(sample["images"])
+    qids = jnp.asarray(sample["question_ids"])
+    am = jnp.asarray(sample["attention_mask"])
+
+    def setup(rng, fparams):
+        # quantization + adapter init inside one jit: XLA frees each float
+        # kernel as its integer counterpart materializes
+        qparams = quantize_llm_weights(fparams, args.qlora)
+        lparams = init_qlora_from_quantized(
+            model, jax.random.fold_in(rng, 1), qparams, ids, images, qids,
+            attention_mask=am)
+        train_flat, frozen_flat = qlora_partition(lparams)
+        train_flat = {k: (v if k.endswith(("/lora_a", "/lora_b"))
+                          else v.astype(dtype))
+                      for k, v in train_flat.items()}
+        return train_flat, frozen_flat
+
+    key = jax.random.PRNGKey(tcfg.seed)
+    if args.pretrained:
+        # float weights arrive as a jit ARGUMENT (device transfer), not a
+        # closed-over constant the compiler would fold into the program
+        train_flat, frozen_flat = jax.jit(setup)(
+            key, _load_pretrained_params(args.pretrained, cfg))
+    else:
+        def init_fn(rng):
+            fmodel = U2CausalLM(cfg, dtype=dtype)
+            fparams = fmodel.init(rng, ids, images, qids, attention_mask=am)
+            return setup(rng, fparams)
+
+        train_flat, frozen_flat = jax.jit(init_fn)(key)
+
+    warmup = max(int(total_steps * tcfg.warmup_ratio), 1)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, tcfg.learning_rate, warmup, max(total_steps, warmup + 1))
+    tx = optax.multi_transform(
+        {"lora": optax.adamw(schedule, weight_decay=0.0),
+         "full": optax.adafactor(schedule, min_dim_size_to_factor=128)},
+        lambda tree: {k: ("lora" if k.endswith(("/lora_a", "/lora_b"))
+                          else "full") for k in tree})
+    loss_fn = make_loss_fn(model)
+    qstep = jax.jit(make_qlora_train_step(tx, loss_fn),
+                    donate_argnums=(0, 1))
+
+    # TrainState holds the NESTED trainable tree (orbax-friendly keys)
+    state = TrainState(step=jnp.int32(0),
+                       params=unflatten_dict(train_flat, sep="/"),
+                       opt_state=tx.init(train_flat))
+
+    def train_step(st, batch):
+        tf, opt, loss, aux, gn = qstep(
+            flatten_dict(st.params, sep="/"), st.opt_state, frozen_flat,
+            batch)
+        metrics = {**aux, "grad_norm": gn}  # aux: loss + token_accuracy
+        return TrainState(step=st.step + 1,
+                          params=unflatten_dict(tf, sep="/"),
+                          opt_state=opt), metrics
+
+    logger = MetricLogger(tcfg.output_dir, use_wandb=args.wandb,
+                          wandb_project=args.wandb_project)
+    state = run_training(tcfg, state, train_step,
+                         lambda epoch: iter(loader),
+                         steps_per_epoch=steps_per_epoch, logger=logger)
+
+    from .train.checkpoint import save_params_msgpack
+
+    out = os.path.join(tcfg.output_dir, "qlora_adapters.msgpack")
+    save_params_msgpack(out, state.params)
+    print(f"qlora adapters saved to {out} (merge for export with "
+          "train.lora.merge_qlora over the quantized base)", file=sys.stderr)
+    print("training complete", file=sys.stderr)
 
 
 # ---------------------------------------------------------------------------
@@ -1000,6 +1111,13 @@ def build_parser():
                         "keep matmul outputs (faster backward, more "
                         "activation memory); 'off' disables remat")
     t.add_argument("--pretrained", default=None)
+    t.add_argument("--qlora", default="off", choices=["off", "int8", "int4"],
+                   help="quantized-base LoRA: freeze the decoder as "
+                        "int8/int4 with fp32 adapters (fits 8B SFT on one "
+                        "16 GB chip); μ²tokenizer + projector stay "
+                        "full-rank trainable")
+    t.add_argument("--lora-rank", type=int, default=16)
+    t.add_argument("--lora-alpha", type=float, default=32.0)
     t.add_argument("--wandb", action="store_true")
     t.add_argument("--wandb-project", default="AMOS-MM")
     t.set_defaults(fn=cmd_train)

@@ -159,6 +159,15 @@ class LLMConfig:
     # produced by quantize.quantize_llm_weights from a float checkpoint,
     # never by init.
     quantized_weights: "bool | str" = False
+    # QLoRA: when > 0, every decoder QDense (q/k/v/o + MLP projections;
+    # NOT embed_tokens/lm_head — the reference's exclusion list,
+    # train_stage1.py:221) carries a float low-rank branch
+    # y += (x @ lora_a @ lora_b) * (lora_alpha / lora_rank) alongside the
+    # (typically int8/int4-quantized, frozen) kernel. This is the
+    # quantized-base fine-tuning path: the classic merged-kernel LoRA
+    # (train/lora.py apply_lora) cannot fold adapters into integer kernels.
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
 
     @classmethod
     def qwen3_1_7b(cls, vocab_size: int = 151936) -> "LLMConfig":

@@ -128,12 +128,20 @@ class QDense(nn.Module):
     Quantized trees are produced by ``models.quantize.quantize_llm_weights``
     from a float checkpoint — init of a quantized module yields placeholder
     zeros.
+
+    ``lora_rank > 0`` adds a float low-rank branch
+    ``y += (x @ lora_a @ lora_b) * lora_scale`` (QLoRA): the base kernel —
+    quantized or float — stays frozen while only the fp32 adapters train.
+    ``lora_b`` inits to zero so the adapted layer starts exactly at the
+    base layer (reference LoRA semantics, train_stage1.py:342-361).
     """
 
     features: int
     use_bias: bool = True
     dtype: Dtype = jnp.bfloat16
     quantized: "bool | str" = False
+    lora_rank: int = 0
+    lora_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -162,6 +170,16 @@ class QDense(nn.Module):
             kernel = self.param("kernel", nn.initializers.lecun_normal(),
                                 (in_features, self.features), jnp.float32)
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.lora_rank > 0:
+            r = self.lora_rank
+            lora_a = self.param(
+                "lora_a", nn.initializers.normal(stddev=1.0 / (r ** 0.5)),
+                (in_features, r), jnp.float32)
+            lora_b = self.param("lora_b", nn.initializers.zeros,
+                                (r, self.features), jnp.float32)
+            y = y + (x.astype(self.dtype) @ lora_a.astype(self.dtype)
+                     @ lora_b.astype(self.dtype)
+                     ) * jnp.asarray(self.lora_scale, self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -193,7 +211,8 @@ class Attention(nn.Module):
         hd = cfg.head_dim
         proj = lambda feats, name: QDense(
             feats, use_bias=cfg.attention_bias, dtype=self.dtype,
-            quantized=cfg.quantized_weights, name=name)
+            quantized=cfg.quantized_weights, lora_rank=cfg.lora_rank,
+            lora_scale=cfg.lora_alpha / max(cfg.lora_rank, 1), name=name)
 
         q = proj(cfg.num_heads * hd, "q_proj")(x).reshape(b, s, cfg.num_heads, hd)
         k = proj(cfg.num_kv_heads * hd, "k_proj")(x).reshape(b, s, cfg.num_kv_heads, hd)
@@ -323,7 +342,8 @@ class MLP(nn.Module):
         cfg = self.cfg
         dense = lambda feats, bias, name: QDense(
             feats, use_bias=bias, dtype=self.dtype,
-            quantized=cfg.quantized_weights, name=name)
+            quantized=cfg.quantized_weights, lora_rank=cfg.lora_rank,
+            lora_scale=cfg.lora_alpha / max(cfg.lora_rank, 1), name=name)
         if cfg.mlp_type == "gelu":
             h = dense(cfg.intermediate_size, cfg.mlp_bias, "fc1")(x)
             h = nn.gelu(h, approximate=True)  # HF gelu_new

@@ -111,6 +111,53 @@ def quantize_llm_weights(params, mode: str = "int8"):
     return {**params, "params": inner}
 
 
+def _dequantize_tree(node: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for key, val in node.items():
+        if isinstance(val, dict):
+            kernel = val.get("kernel")
+            if kernel is not None and not isinstance(kernel, dict) \
+                    and jnp.issubdtype(kernel.dtype, jnp.integer):
+                scale = val["scale"]
+                if kernel.ndim == 3:  # int4 grouped: (ng, g, out), (ng, out)
+                    k = kernel.astype(jnp.float32) * scale[:, None, :]
+                    k = k.reshape(-1, k.shape[-1])
+                else:  # int8 per-out-channel: (in, out), (out,)
+                    k = kernel.astype(jnp.float32) * scale[None, :]
+                new = {"kernel": k}
+                for extra in ("bias", "lora_a", "lora_b"):
+                    if extra in val:
+                        new[extra] = val[extra]
+                out[key] = new
+            else:
+                out[key] = _dequantize_tree(val)
+        elif key == "embed_tokens" and jnp.issubdtype(val.dtype, jnp.integer):
+            out["embed_tokens"] = (val.astype(jnp.float32)
+                                   * node["embed_scale"])
+        elif key == "embed_scale":
+            continue  # folded into embed_tokens above
+        else:
+            out[key] = val
+    return out
+
+
+def dequantize_llm_weights(params):
+    """Inverse of ``quantize_llm_weights``: fold the int8/int4 scales back
+    into fp32 kernels (and the embedding table). Float leaves — including
+    QLoRA ``lora_a``/``lora_b`` adapters — pass through untouched; use
+    ``train.lora.merge_qlora`` to also fold adapters into the kernels.
+    Reconstruction is exact up to the original quantization error (the
+    round-trip float -> int -> float loses only the quantization rounding).
+    """
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    inner = dict(params["params"])
+    if "llm" in inner:
+        inner["llm"] = _dequantize_tree(inner["llm"])
+    else:
+        inner = _dequantize_tree(inner)
+    return {**params, "params": inner}
+
+
 def quantized_llm_config(cfg, mode: "bool | str" = True):
     """Return a copy of an LLMConfig or U2ModelConfig with quantized weights
     (``mode``: True/"int8" or "int4")."""

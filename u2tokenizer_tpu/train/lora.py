@@ -96,6 +96,143 @@ def count_params(tree) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
 
 
+def qlora_config(cfg, rank: int = 16, alpha: float = 32.0,
+                 mode: "bool | str" = "int8"):
+    """U2ModelConfig / LLMConfig copy set up for QLoRA: decoder kernels
+    stored weight-only quantized (int8 halves — int4 quarters — the frozen
+    base's HBM footprint vs bf16) with fp32 low-rank adapters on every
+    decoder linear (decoder.QDense lora branch). This is what fits μ²Qwen3-8B
+    SFT on a single 16 GB chip: the reference needs 4x80 GB A100s
+    (/root/reference/README.md:63) because its bf16 base + Adam state alone
+    exceed one GPU.
+
+    Deviation from the merged-kernel LoRA path (reference peft semantics,
+    train_stage1.py:342-361): embed_tokens/lm_head stay frozen *and
+    quantized*, so the +4 new-token rows cannot be trained in this mode —
+    use the float LoRA path (or a multi-chip mesh) when embedding training
+    matters.
+    """
+    import dataclasses
+
+    llm = cfg.llm if hasattr(cfg, "llm") else cfg
+    llm = dataclasses.replace(llm, quantized_weights=mode, lora_rank=rank,
+                              lora_alpha=alpha)
+    if hasattr(cfg, "llm"):
+        return dataclasses.replace(cfg, llm=llm)
+    return llm
+
+
+def qlora_trainable_path(path: str,
+                         full_train=("u2tokenizer", "mm_projector")) -> bool:
+    """Trainable leaves under QLoRA: the fp32 adapters plus the full-rank
+    multimodal modules (μ²tokenizer + projector, train_stage1.py:355-359).
+    Vision tower frozen (--freeze-vision-tower); decoder base is integer
+    (untrainable by construction); embeddings stay frozen (see qlora_config).
+    """
+    if path.endswith("/lora_a") or path.endswith("/lora_b"):
+        return True
+    return any(kw in path for kw in full_train)
+
+
+def qlora_partition(params) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Split a (quantized, lora-enabled) param tree into flat
+    {path: leaf} dicts (trainable fp32, frozen as-is). Rebuild with
+    ``qlora_merge_trees``."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params, sep="/")
+    train, frozen = {}, {}
+    for key, val in flat.items():
+        if qlora_trainable_path(key) and jnp.issubdtype(
+                val.dtype, jnp.floating):
+            train[key] = val.astype(jnp.float32)
+        else:
+            frozen[key] = val
+    return train, frozen
+
+
+def qlora_merge_trees(train_flat: Dict[str, Any],
+                      frozen_flat: Dict[str, Any]):
+    from flax.traverse_util import unflatten_dict
+
+    merged = dict(frozen_flat)
+    merged.update(train_flat)
+    return unflatten_dict(merged, sep="/")
+
+
+def init_qlora_from_quantized(model, rng, quantized_params, *init_args,
+                              **init_kwargs):
+    """Param tree for a QLoRA model (quantized_weights + lora_rank set) from
+    an existing quantized tree (models.quantize.quantize_llm_weights):
+    model.init supplies the structure AND freshly-initialized adapters
+    (lora_a ~ N(0, 1/r), lora_b = 0); every leaf that also exists in the
+    quantized tree (kernels, scales, embeddings, non-decoder float params)
+    is taken from it."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    full = model.init(rng, *init_args, **init_kwargs)
+    flat = flatten_dict(full, sep="/")
+    flat_q = flatten_dict(quantized_params, sep="/")
+    for key, val in flat_q.items():
+        flat[key] = val
+    return unflatten_dict(flat, sep="/")
+
+
+def make_qlora_train_step(tx: optax.GradientTransformation,
+                          loss_fn: Callable):
+    """Train step over the QLoRA-trainable subset with the quantized base
+    closed over as a constant: gradients and optimizer state exist ONLY for
+    the adapters + multimodal modules (no frozen grads are ever allocated —
+    the 8B int8 base contributes 8 GB of params and zero training state).
+
+    loss_fn(params_tree, batch) -> (loss, aux); returns
+    step(train_flat, opt_state, frozen_flat, batch) ->
+    (train_flat, opt_state, loss, aux, grad_norm) — jit with
+    donate_argnums=(0, 1) at the call site.
+    """
+
+    def step(train_flat, opt_state, frozen_flat, batch):
+        def wrapped(tf):
+            return loss_fn(qlora_merge_trees(tf, frozen_flat), batch)
+
+        (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(
+            train_flat)
+        updates, opt_state = tx.update(grads, opt_state, train_flat)
+        train_flat = optax.apply_updates(train_flat, updates)
+        return train_flat, opt_state, loss, aux, optax.global_norm(grads)
+
+    return step
+
+
+def merge_qlora(params, llm_cfg):
+    """Fold QLoRA adapters into dequantized fp32 kernels for export: each
+    decoder linear becomes dequant(kernel) + (alpha/r) * lora_a @ lora_b,
+    adapters and quant scales dropped. The result loads into the plain
+    float model (LLMConfig(quantized_weights=False, lora_rank=0)) and into
+    the HF exporters. Exact up to the base's original quantization error
+    (the adapters themselves merge losslessly in fp32).
+    """
+    from ..models.quantize import dequantize_llm_weights
+
+    scale = llm_cfg.lora_alpha / max(llm_cfg.lora_rank, 1)
+    deq = dequantize_llm_weights(params)
+
+    def fold(node):
+        if not isinstance(node, dict):
+            return node
+        if "kernel" in node and "lora_a" in node:
+            kernel = node["kernel"].astype(jnp.float32) + scale * (
+                node["lora_a"].astype(jnp.float32)
+                @ node["lora_b"].astype(jnp.float32))
+            out = {"kernel": kernel}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            return out
+        return {k: fold(v) for k, v in node.items()}
+
+    return fold(deq)
+
+
 def make_lora_train_step(
     model,
     tx: optax.GradientTransformation,
