@@ -55,6 +55,14 @@ STATE = os.environ.get("PG_STATE", "/tmp/pred_green_state.json")
 # the tiled path (tests/test_fanout.py); PG_FANOUT=0 measures the old
 # tile-everything baseline for comparison
 FANOUT = os.environ.get("PG_FANOUT", "1") == "1"
+# judge-stage shared-prefix prefill: a case's N_SAMPLES judgments share the
+# [chat head ; GREEN template ; reference report] prompt tokens — prefill
+# them once per case (generate.shared_prefix_prefill), identical output.
+# PG_JUDGE_SHARE=0 measures the old per-row prefill baseline.
+JUDGE_SHARE = os.environ.get("PG_JUDGE_SHARE", "1") == "1"
+# shared tokens per judge prompt (template ~600 + reference report ~400 of
+# the 2048-token prompt; candidate + instructions are per-row)
+JUDGE_SHARED_TOKENS = int(os.environ.get("PG_JUDGE_SHARED_TOKENS", "1024"))
 
 
 def log(*a):
@@ -184,13 +192,27 @@ def stage_judge():
     script = report_token_scripts(jb, JUDGE_TOKENS + 8, jcfg.vocab_size,
                                   seed=11)
     prompt_np = np.zeros((jb, JUDGE_PROMPT), np.int32)
-    # embed the quoted report inside the judge prompt (as GREEN's prompt
-    # does) so the drafter has real history to match
+    # realistic GREEN prompt structure: a case's N_SAMPLES judgments share
+    # the [template ; reference report] head and differ in the candidate
+    # tail (green_refactored/utils.py:318-332) — rows are case-grouped
+    rng_np = np.random.default_rng(12)
+    shared_heads = rng_np.integers(
+        1, jcfg.vocab_size, (jb // N_SAMPLES, JUDGE_SHARED_TOKENS))
+    prompt_np[:, :JUDGE_SHARED_TOKENS] = np.repeat(shared_heads, N_SAMPLES,
+                                                   axis=0)
+    # embed the quoted report inside the per-row candidate tail (as GREEN's
+    # prompt does) so the drafter has real history to match
     prompt_np[:, -JUDGE_TOKENS:] = script[:, :JUDGE_TOKENS]
     j_ids = jnp.asarray(prompt_np)
 
+    sp = ((N_SAMPLES, JUDGE_SHARED_TOKENS)
+          if JUDGE_SHARE and jb % N_SAMPLES == 0 else None)
+    if sp:
+        log(f"stage2: shared-prefix prefill ({JUDGE_SHARED_TOKENS} of "
+            f"{JUDGE_PROMPT} prompt tokens once per case)")
     jfn = make_spec_generate_fn(judge, jgen, cache_dtype="int8",
-                                return_stats=True, forced_content=True)
+                                return_stats=True, forced_content=True,
+                                shared_prefix=sp)
 
     def judge_step(params, ids, lens, rng, script):
         embeds = judge.apply(params, ids, method="embed_tokens")
@@ -217,6 +239,7 @@ def stage_judge():
         f"({accept:.2f} accepted/step on quoted-report content)")
     _save("judge_s", judge_s)
     _save("judge_accept", accept)
+    _save("judge_mode", "shared_prefix" if sp else "per_row_prefill")
 
 
 def report():
@@ -240,6 +263,7 @@ def report():
             "judge_model": "phi2-2.7B-geometry int8 (GREEN-RadPhi2 class)",
             "judge_accept_per_step": round(r["judge_accept"], 2),
             "predict_mode": r.get("predict_mode", "tiled"),
+            "judge_mode": r.get("judge_mode", "per_row_prefill"),
             "policy": "u2-qwen3-1.7b int8, nucleus top-p 0.9 via the "
                       "bucketed warp, vision encoded once per case",
         },

@@ -448,12 +448,12 @@ class JaxJudge:
 
     def __init__(self, model, params, tokenizer, batch_size: int = 4,
                  max_length: int = 2048, max_new_tokens: int = 600,
-                 chat_format: bool = True, speculative: bool = True):
+                 chat_format: bool = True, speculative: bool = True,
+                 share_prefix: bool = True):
         import jax
         import jax.numpy as jnp
 
         from ..config import GenerationConfig
-        from ..models.generate import make_generate_fn
 
         self.model = model
         self.params = params
@@ -474,12 +474,33 @@ class JaxJudge:
         # GREEN hot loop (SURVEY §7: judge throughput dominates the DPO
         # pipeline). The spec path needs the prompt token ids for drafting.
         self.speculative = speculative
-        if speculative:
+        # pred_then_green scores 8 candidates against ONE reference per
+        # case (pred_then_green.py:105-137): their judge prompts share the
+        # [chat head ; GREEN template ; reference report] token prefix.
+        # share_prefix detects the common token prefix of each batch and
+        # prefills it once (generate.shared_prefix_prefill) — identical
+        # output, roughly half the prefill compute on grouped batches.
+        self.share_prefix = share_prefix
+        self._gen_cache = {}
+
+    def _gen_for(self, n: int, split: int):
+        """Jitted generate fn for a batch whose n rows share their first
+        ``split`` prompt tokens (split=0: plain one-shot prefill). Split is
+        bucketed by the caller, so the cache stays small."""
+        key = (n, split)
+        if key not in self._gen_cache:
+            from ..models.generate import make_generate_fn
             from ..models.speculative import make_spec_generate_fn
 
-            self._gen = jax.jit(make_spec_generate_fn(model, gen))
-        else:
-            self._gen = jax.jit(make_generate_fn(model, gen))
+            sp = (n, split) if split else None
+            if self.speculative:
+                fn = make_spec_generate_fn(self.model, self.gen_cfg,
+                                           shared_prefix=sp)
+            else:
+                fn = make_generate_fn(self.model, self.gen_cfg,
+                                      shared_prefix=sp)
+            self._gen_cache[key] = self._jax.jit(fn)
+        return self._gen_cache[key]
 
     @staticmethod
     def _tail_batch(remainder: int, bs: int) -> int:
@@ -516,14 +537,24 @@ class JaxJudge:
             for j, e in enumerate(enc):
                 ids[j, : len(e)] = e
                 lens[j] = len(e)
+            split = 0
+            if self.share_prefix and run_bs > 1:
+                # longest common token prefix of the batch, bucketed to
+                # 256-token multiples (bounds the number of compilations);
+                # must leave every row >= 1 own suffix token
+                width = int(lens.min())
+                same = (ids[:, :width] == ids[0:1, :width]).all(axis=0)
+                lcp = width if same.all() else int(np.argmin(same))
+                split = (min(lcp, width - 1) // 256) * 256
+            gen_fn = self._gen_for(run_bs, split)
             embeds = self.model.apply(self.params, jnp.asarray(ids),
                                       method=type(self.model).embed_tokens)
             if self.speculative:
-                toks = np.asarray(self._gen(
+                toks = np.asarray(gen_fn(
                     self.params, embeds, jnp.asarray(ids),
                     jnp.asarray(lens), jax.random.PRNGKey(0)))
             else:
-                toks = np.asarray(self._gen(
+                toks = np.asarray(gen_fn(
                     self.params, embeds, jnp.asarray(lens),
                     jax.random.PRNGKey(0)))
             for j in range(len(prompts[i:i + bs])):

@@ -26,11 +26,80 @@ from .llm.decoder import KVCache
 from .u2_model import U2CausalLM, causal_padding_mask
 
 
+def shared_prefix_prefill(model, params, inputs_embeds, prompt_len, cache,
+                          n: int, split: int):
+    """Two-phase prefill for rows grouped n-per-case whose first ``split``
+    tokens are IDENTICAL within each group (row c*n+j shares tokens
+    [0, split) with its group): phase 1 prefills each group's prefix ONCE
+    (batch B/n), the prefix KV tiles to all rows, and phase 2 runs a
+    per-row continuation prefill over [split, S) that attends the cache
+    (the chunked-prefill mechanism, make_generate_fn prefill_chunk).
+
+    Prefill compute drops from B*S to B/n*split + B*(S-split) tokens — the
+    GREEN judge's win: a case's 8 judgments share [template ; reference
+    report] and differ only in the candidate tail
+    (green_refactored/utils.py:318-332, pred_then_green.py:105-137).
+
+    The resulting cache and last-position hidden states are exactly what
+    the one-shot prefill produces (same values, same slots) for float
+    caches — so the DECODE path needs no changes at all and composes with
+    the speculative loop. Quantized caches quantize the prefix once per
+    group instead of once per row: same quantization grid, identical
+    values. Requires split < prompt_len for every row (each row must own
+    at least one suffix token).
+
+    Returns (last_hidden (B, 1, E) at prompt_len-1, cache).
+    """
+    b, s, _ = inputs_embeds.shape
+    c = b // n
+    llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
+    total = cache.k[0].shape[2]
+    kvp = jnp.arange(total, dtype=jnp.int32)
+
+    # --- phase 1: one prefix row per group; all split tokens are valid
+    # (split < prompt_len), plain causal mask ---
+    pre_cache = KVCache.create(llm_cfg, c, total, cache.k[0].dtype)
+    emb_p = inputs_embeds[::n, :split]
+    pos_p = jnp.broadcast_to(jnp.arange(split, dtype=jnp.int32), (c, split))
+    # scalar write_index -> the attention runs over the FRESH split keys
+    # (one-shot prefill path), so the mask is (split, split) causal
+    mask_p = jnp.tril(jnp.ones((split, split), bool))[None, None]
+    _, _, pre_cache = model.apply(
+        params, emb_p, attention_mask=None, cache=pre_cache,
+        write_index=jnp.int32(0), positions=pos_p, mask=mask_p,
+        lens=jnp.full((c,), split, jnp.int32), compute_logits=False,
+        method="forward_embeds")
+
+    # tile the group prefix KV to every row (one HBM pass)
+    rep = lambda xs: [jnp.repeat(x, n, axis=0) for x in xs] if xs else xs
+    cache = KVCache(k=rep(pre_cache.k), v=rep(pre_cache.v),
+                    k_scale=rep(pre_cache.k_scale),
+                    v_scale=rep(pre_cache.v_scale))
+
+    # --- phase 2: per-row continuation over [split, S); causal masking is
+    # exact because prompts are right-padded (a real query position is
+    # always below every pad position — see make_generate_fn) ---
+    s2 = s - split
+    emb_s = inputs_embeds[:, split:]
+    pos_s = jnp.broadcast_to(
+        split + jnp.arange(s2, dtype=jnp.int32), (b, s2))
+    mask_s = (kvp[None, :] <= (split + jnp.arange(s2))[:, None])[None, None]
+    widx = jnp.full((b,), split, jnp.int32)  # vector index: attend-the-cache
+    _, hidden, cache = model.apply(
+        params, emb_s, attention_mask=None, cache=cache,
+        write_index=widx, positions=pos_s, mask=mask_s,
+        compute_logits=False, method="forward_embeds")
+    last_hidden = jnp.take_along_axis(
+        hidden, (prompt_len - 1 - split)[:, None, None], axis=1)
+    return last_hidden, cache
+
+
 def make_generate_fn(
     model,
     gen: GenerationConfig,
     cache_dtype=jnp.bfloat16,
     prefill_chunk: Optional[int] = None,
+    shared_prefix: Optional[tuple] = None,
 ) -> Callable:
     """Build a jittable generate(params, inputs_embeds, prompt_len, rng).
 
@@ -52,6 +121,11 @@ def make_generate_fn(
         right-padded: a real query position is always below every pad
         position, and pad KV rows are excluded by the decode-time mask
         exactly as in the one-shot path.
+      shared_prefix: (n, split) — rows are grouped n-per-case and each
+        group's rows share their first ``split`` prompt tokens; the prefill
+        runs two-phase (prefix once per group, per-row continuation — see
+        shared_prefix_prefill). Decode is unchanged. Mutually exclusive
+        with prefill_chunk; requires split < prompt_len for every row.
 
     Returns:
       (B, max_new_tokens) int32 generated ids, pad-filled after EOS.
@@ -64,7 +138,11 @@ def make_generate_fn(
         cache = KVCache.create(llm_cfg, b, total, cache_dtype)
 
         # --- prefill ---
-        if prefill_chunk and prefill_chunk < s and s % prefill_chunk == 0:
+        if shared_prefix is not None:
+            last_hidden, cache = shared_prefix_prefill(
+                model, params, inputs_embeds, prompt_len.astype(jnp.int32),
+                cache, *shared_prefix)
+        elif prefill_chunk and prefill_chunk < s and s % prefill_chunk == 0:
             cs = prefill_chunk
             kvp = jnp.arange(total, dtype=jnp.int32)
             chunks = jnp.swapaxes(
@@ -100,8 +178,9 @@ def make_generate_fn(
                 write_index=jnp.int32(0), positions=positions, mask=mask,
                 lens=prompt_len.astype(jnp.int32), compute_logits=False,
                 method="forward_embeds")
-        last_hidden = jnp.take_along_axis(
-            hidden, (prompt_len - 1)[:, None, None], axis=1)  # (B, 1, E)
+        if shared_prefix is None:
+            last_hidden = jnp.take_along_axis(
+                hidden, (prompt_len - 1)[:, None, None], axis=1)  # (B, 1, E)
         last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
         rng, sub = jax.random.split(rng)
         tok0 = sample(sub, last, do_sample=gen.do_sample,

@@ -80,6 +80,7 @@ def make_spec_generate_fn(
     return_stats: bool = False,
     prefill_chunk: Optional[int] = None,
     forced_content: bool = False,
+    shared_prefix: Optional[tuple] = None,
 ) -> Callable:
     """Build generate(params, inputs_embeds, prompt_ids, prompt_len, rng).
 
@@ -115,6 +116,12 @@ def make_spec_generate_fn(
     predicate is a runtime input, so XLA cannot eliminate the sampling
     arithmetic — both select branches are computed. Script tokens must be
     >= 0 (real vocab ids).
+
+    ``shared_prefix=(n, split)``: rows grouped n-per-case share their first
+    ``split`` prompt tokens — the prefill runs two-phase (prefix once per
+    group, per-row continuation; generate.shared_prefix_prefill) and the
+    speculative decode is untouched. The GREEN judge's case of 8 judgments
+    sharing [template ; reference report] cuts its prefill roughly in half.
     """
     llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
     kb = block_len
@@ -129,11 +136,16 @@ def make_spec_generate_fn(
         cache = KVCache.create(llm_cfg, b, total, cache_dtype)
         prompt_len = prompt_len.astype(jnp.int32)
 
-        # --- prefill (identical to make_generate_fn, incl. the chunked
-        # variant that bounds the prefill activation peak; see
-        # generate.make_generate_fn's prefill_chunk docstring) ---
+        # --- prefill (identical to make_generate_fn, incl. the chunked and
+        # shared-prefix variants; see generate.make_generate_fn) ---
         att = (jnp.arange(s)[None, :] < prompt_len[:, None]).astype(jnp.int32)
-        if prefill_chunk and prefill_chunk < s and s % prefill_chunk == 0:
+        if shared_prefix is not None:
+            from .generate import shared_prefix_prefill
+
+            last_hidden, cache = shared_prefix_prefill(
+                model, params, inputs_embeds, prompt_len, cache,
+                *shared_prefix)
+        elif prefill_chunk and prefill_chunk < s and s % prefill_chunk == 0:
             cs = prefill_chunk
             kvp = jnp.arange(total, dtype=jnp.int32)
             chunks = jnp.swapaxes(
@@ -165,8 +177,9 @@ def make_spec_generate_fn(
                 write_index=jnp.int32(0), positions=positions, mask=mask,
                 lens=prompt_len, compute_logits=False,
                 method="forward_embeds")
-        last_hidden = jnp.take_along_axis(
-            hidden, (prompt_len - 1)[:, None, None], axis=1)
+        if shared_prefix is None:
+            last_hidden = jnp.take_along_axis(
+                hidden, (prompt_len - 1)[:, None, None], axis=1)
         last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
         rng, sub = jax.random.split(rng)
         tok0 = sample(sub, last, do_sample=gen.do_sample,
