@@ -127,6 +127,51 @@ def test_fanout_eos_stops_rows(tiny_lm):
     assert (row[stop + 1:] == 0).all()
 
 
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, "int8"])
+def test_spec_fanout_matches_plain_greedy(tiny_lm, cache_dtype):
+    """Speculative fan-out (case-shared prompt KV + per-row suffix cache,
+    verify blocks through the joint-softmax path) keeps the speculative
+    contract: greedy output bit-identical to the PLAIN greedy loop on
+    n-tiled rows."""
+    from u2tokenizer_tpu.models.speculative import make_spec_generate_fn
+
+    cfg, model, params, ids, prompt_len = tiny_lm
+    n = 3
+    gen = GenerationConfig(max_new_tokens=12, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    emb = _embeds(model, params, ids, prompt_len)
+    rng = jax.random.PRNGKey(11)
+
+    spec_fan = np.asarray(
+        make_spec_generate_fn(model, gen, cache_dtype, fanout=n)(
+            params, emb, ids, prompt_len, rng))
+
+    plain = np.asarray(
+        make_generate_fn(model, gen, cache_dtype)(
+            params, jnp.repeat(emb, n, axis=0),
+            jnp.repeat(prompt_len, n, axis=0), rng))
+    np.testing.assert_array_equal(spec_fan, plain)
+
+
+def test_spec_fanout_sampled_distribution_path(tiny_lm):
+    """Sampled speculative fan-out runs and rows draw independently;
+    stats counter returns verify-step count."""
+    from u2tokenizer_tpu.models.speculative import make_spec_generate_fn
+
+    cfg, model, params, ids, prompt_len = tiny_lm
+    n = 4
+    gen = GenerationConfig(max_new_tokens=10, do_sample=True, top_p=0.9,
+                           eos_token_id=-2, pad_token_id=0)
+    emb = _embeds(model, params, ids, prompt_len)
+    toks, steps = make_spec_generate_fn(
+        model, gen, jnp.float32, fanout=n, return_stats=True)(
+        params, emb, ids, prompt_len, jax.random.PRNGKey(13))
+    toks = np.asarray(toks)
+    assert toks.shape == (2 * n, 10)
+    assert int(np.asarray(steps)) >= 1
+    assert (toks[0] != toks[1]).any() or (toks[1] != toks[2]).any()
+
+
 def test_fanout_multimodal_smoke():
     """End-to-end: vision encode + prefill once per case, decode fans out."""
     cfg = U2ModelConfig.tiny()

@@ -55,6 +55,11 @@ STATE = os.environ.get("PG_STATE", "/tmp/pred_green_state.json")
 # the tiled path (tests/test_fanout.py); PG_FANOUT=0 measures the old
 # tile-everything baseline for comparison
 FANOUT = os.environ.get("PG_FANOUT", "1") == "1"
+# PG_PRED_SPEC=1: speculative SAMPLING on the predict stage, composed with
+# fan-out (case-shared prompt KV; models/speculative.py fanout=). Uses
+# forced-content report scripts so acceptance reflects realistic report
+# text, like the judge stage. Exact top-p distribution either way.
+PRED_SPEC = os.environ.get("PG_PRED_SPEC", "0") == "1"
 # judge-stage shared-prefix prefill: a case's N_SAMPLES judgments share the
 # [chat head ; GREEN template ; reference report] prompt tokens — prefill
 # them once per case (generate.shared_prefix_prefill), identical output.
@@ -119,7 +124,33 @@ def stage_predict():
     gen = GenerationConfig(max_new_tokens=PRED_TOKENS, do_sample=True,
                            top_p=0.9, eos_token_id=-2, pad_token_id=0)
 
-    if FANOUT:
+    script = None
+    if PRED_SPEC:
+        # speculative sampling composed with fan-out: n-gram drafts verified
+        # against the exact top-p warp, prompt KV shared per case; forced
+        # report-content scripts make the acceptance realistic (same
+        # honest-content protocol as the judge stage)
+        from u2tokenizer_tpu.data.synthetic_reports import (
+            report_token_scripts)
+        from u2tokenizer_tpu.models.speculative import (
+            make_spec_multimodal_generate_fn)
+
+        script = jnp.asarray(report_token_scripts(
+            b_pred, PRED_TOKENS + 8, cfg.llm.vocab_size, seed=21))
+        base_fn = make_spec_multimodal_generate_fn(
+            model, gen, cache_dtype="int8", forced_content=True,
+            fanout=N_SAMPLES if FANOUT else None, return_stats=True)
+        if FANOUT:
+            predict = lambda p, i, im, q, pl, r: base_fn(
+                p, i, im, q, pl, r, script)
+        else:
+            predict = lambda p, i, im, q, pl, r: base_fn(
+                p, jnp.repeat(i, N_SAMPLES, 0), jnp.repeat(im, N_SAMPLES, 0),
+                jnp.repeat(q, N_SAMPLES, 0), jnp.repeat(pl, N_SAMPLES, 0),
+                r, script)
+        log("stage1: compiling speculative sampled generate "
+            f"({'fan-out shared prefix' if FANOUT else 'tiled rows'})")
+    elif FANOUT:
         # shared-prefix fan-out: vision encode AND prefill once per case;
         # the decode attends [case-shared prompt KV ; per-row suffix] with
         # a joint softmax — prompt-KV HBM traffic and prefill FLOPs divided
@@ -146,18 +177,30 @@ def stage_predict():
         predict = jax.jit(predict)
         log("stage1: compiling sampled generate (bucketed top-p warp)")
     t0 = time.time()
-    np.asarray(predict(params, input_ids, images, question_ids, prompt_len,
-                       jax.random.PRNGKey(1)))
+    np.asarray(jax.tree_util.tree_leaves(predict(
+        params, input_ids, images, question_ids, prompt_len,
+        jax.random.PRNGKey(1)))[0])
     log(f"stage1 compile+run {time.time() - t0:.1f}s")
     t0 = time.time()
-    toks = predict(params, input_ids, images, question_ids, prompt_len,
-                   jax.random.PRNGKey(2))
-    np.asarray(toks)
+    res = predict(params, input_ids, images, question_ids, prompt_len,
+                  jax.random.PRNGKey(2))
+    accept = None
+    if PRED_SPEC:
+        toks, steps = res
+        np.asarray(toks)
+        accept = PRED_TOKENS / max(int(np.asarray(steps)), 1)
+    else:
+        np.asarray(res)
     predict_s = time.time() - t0
+    mode = (("spec+" if PRED_SPEC else "")
+            + ("fanout" if FANOUT else "tiled"))
     log(f"stage1: {predict_s:.1f}s for {b_pred} sampled predictions "
-        f"({'fan-out shared prefix' if FANOUT else 'tiled rows'})")
+        f"({mode}"
+        + (f", {accept:.2f} accepted/step" if accept else "") + ")")
     _save("predict_s", predict_s)
-    _save("predict_mode", "fanout" if FANOUT else "tiled")
+    _save("predict_mode", mode)
+    if accept:
+        _save("predict_accept", accept)
 
 
 def stage_judge():

@@ -143,10 +143,7 @@ def main():
 
     step_fn = make_qlora_train_step(tx, loss_fn)
     opt_state = tx.init(train_flat)
-
-    from functools import partial
-
-    train_step = partial(jax.jit(step_fn, donate_argnums=(0, 1)))
+    train_step = jax.jit(step_fn, donate_argnums=(0, 1))
 
     log(f"compiling the 8B {QUANT}-base QLoRA train step")
     t0 = time.time()

@@ -81,6 +81,7 @@ def make_spec_generate_fn(
     prefill_chunk: Optional[int] = None,
     forced_content: bool = False,
     shared_prefix: Optional[tuple] = None,
+    fanout: Optional[int] = None,
 ) -> Callable:
     """Build generate(params, inputs_embeds, prompt_ids, prompt_len, rng).
 
@@ -122,6 +123,17 @@ def make_spec_generate_fn(
     group, per-row continuation; generate.shared_prefix_prefill) and the
     speculative decode is untouched. The GREEN judge's case of 8 judgments
     sharing [template ; reference report] cuts its prefill roughly in half.
+
+    ``fanout=n``: speculative counterpart of generate.make_fanout_generate_fn
+    for the FULLY-shared-prompt protocol (8 samples per case,
+    pred_then_green.py:77): inputs become per-CASE — embeds (C, S, E),
+    prompt_ids (C, S), prompt_len (C,) — and n rows per case decode against
+    the case-shared prompt KV (prefilled once, streamed once per case via
+    ops/attention.gqa_sdpa_fanout) plus a per-row suffix cache. Returns
+    (C*n, max_new); row c*n+j is sample j of case c. ``script`` (forced
+    content) stays per-ROW: (C*n, >= max_new + block). Composes the fan-out
+    prompt-KV saving with speculative acceptance. Mutually exclusive with
+    shared_prefix/prefill_chunk.
     """
     llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
     kb = block_len
@@ -129,12 +141,46 @@ def make_spec_generate_fn(
 
     def generate(params, inputs_embeds, prompt_ids, prompt_len, rng,
                  script=None):
-        b, s, _ = inputs_embeds.shape
+        nrows, s, _ = inputs_embeds.shape
+        b = nrows * fanout if fanout else nrows
         # +kb slack: a verify block starting at the last live slot may write
         # up to kb-1 tokens past it (masked, later overwritten — never read).
-        total = s + max_new + kb
-        cache = KVCache.create(llm_cfg, b, total, cache_dtype)
+        # fan-out: the per-row cache holds ONLY the suffix; the prompt lives
+        # in the case-shared prefix cache.
+        total = (max_new + kb) if fanout else (s + max_new + kb)
         prompt_len = prompt_len.astype(jnp.int32)
+
+        prefix_cache = prefix_mask = None
+        if fanout:
+            # --- prefill once per case into the shared prefix cache ---
+            prefix_cache = KVCache.create(llm_cfg, nrows, s, cache_dtype)
+            att_c = (jnp.arange(s)[None, :] < prompt_len[:, None])
+            mask_c = causal_padding_mask(att_c.astype(jnp.int32))
+            positions = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32), (nrows, s))
+            _, hidden, prefix_cache = model.apply(
+                params, inputs_embeds, attention_mask=None,
+                cache=prefix_cache, write_index=jnp.int32(0),
+                positions=positions, mask=mask_c, lens=prompt_len,
+                compute_logits=False, method="forward_embeds")
+            last_hidden = jnp.take_along_axis(
+                hidden, (prompt_len - 1)[:, None, None], axis=1)
+            prefix_mask = att_c  # (C, S) valid prompt keys
+            # fan out all per-row state (row c*n+j = sample j of case c)
+            rep = lambda x: jnp.repeat(x, fanout, axis=0)
+            last_hidden = rep(last_hidden)
+            prompt_len = rep(prompt_len)
+            prompt_ids = rep(prompt_ids)
+            att = rep(att_c.astype(jnp.int32))
+            cache = KVCache.create(llm_cfg, b, total, cache_dtype)
+            last = model.apply(params, last_hidden, method="lm_logits")[:, 0]
+            rng, sub = jax.random.split(rng)
+            tok0 = sample(sub, last, do_sample=gen.do_sample,
+                          temperature=gen.temperature, top_p=gen.top_p)
+            return _decode_loop(params, cache, prefix_cache, prefix_mask,
+                                tok0, att, prompt_ids, prompt_len, rng,
+                                script, b, s, total)
+        cache = KVCache.create(llm_cfg, b, total, cache_dtype)
 
         # --- prefill (identical to make_generate_fn, incl. the chunked and
         # shared-prefix variants; see generate.make_generate_fn) ---
@@ -184,6 +230,19 @@ def make_spec_generate_fn(
         rng, sub = jax.random.split(rng)
         tok0 = sample(sub, last, do_sample=gen.do_sample,
                       temperature=gen.temperature, top_p=gen.top_p)
+        return _decode_loop(params, cache, None, None, tok0, att,
+                            prompt_ids, prompt_len, rng, script, b, s,
+                            total)
+
+    def _decode_loop(params, cache, prefix_cache, prefix_mask, tok0, att,
+                     prompt_ids, prompt_len, rng, script, b, s, total):
+        """Speculative verify/accept loop. ``prefix_cache`` None: the cache
+        holds [prompt ; generated] at absolute slots (emitted index e at
+        slot s+e). With a fan-out prefix cache: the per-row cache holds only
+        the suffix (emitted index e at slot e) and every verify forward
+        attends [case-shared prefix ; suffix] via the joint-softmax path
+        (ops/attention.gqa_sdpa_fanout)."""
+        cache_base = 0 if prefix_cache is not None else s
         if forced_content:
             # where-on-runtime-input keeps the real sampling of tok0 live
             s0 = script[:, 0].astype(jnp.int32)
@@ -239,13 +298,21 @@ def make_spec_generate_fn(
             f = jnp.concatenate([pending[:, None], drafts], axis=1)  # (B, kb)
             emb = model.apply(params, f, method="embed_tokens")
             pos = (prompt_len + n_w)[:, None] + koff[None, :]
-            key_ok = (kv_pos[None, None, :] < prompt_len[:, None, None]) | (
-                (kv_pos[None, None, :] >= s) &
-                (kv_pos[None, None, :] <= (s + n_w)[:, None, None]
-                 + koff[None, :, None]))
+            if prefix_cache is not None:
+                # suffix-only slots: emitted index e at slot e; the prompt
+                # keys come from the shared prefix under prefix_mask
+                key_ok = (kv_pos[None, None, :]
+                          <= n_w[:, None, None] + koff[None, :, None])
+            else:
+                key_ok = (kv_pos[None, None, :]
+                          < prompt_len[:, None, None]) | (
+                    (kv_pos[None, None, :] >= s) &
+                    (kv_pos[None, None, :] <= (s + n_w)[:, None, None]
+                     + koff[None, :, None]))
             logits, _, cache = model.apply(
                 params, emb, pos, key_ok[:, None], st["cache"],
-                s + n_w, method="decode_step")
+                cache_base + n_w, prefix_cache=prefix_cache,
+                prefix_mask=prefix_mask, method="decode_step")
             rng = st["rng"]
             if not gen.do_sample:
                 g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, kb)
@@ -444,16 +511,19 @@ def make_spec_multimodal_generate_fn(
     return_stats: bool = False,
     prefill_chunk: Optional[int] = None,
     forced_content: bool = False,
+    fanout: Optional[int] = None,
 ) -> Callable:
     """Speculative counterpart of generate.make_multimodal_generate_fn:
     generate(params, input_ids, images, question_ids, prompt_len, rng).
     ``forced_content``: see make_spec_generate_fn — appends a trailing
-    ``script`` argument."""
+    ``script`` argument. ``fanout=n``: per-CASE inputs, vision encode +
+    prefill once per case, n sample rows share the prompt KV (see
+    make_spec_generate_fn); returns (C*n, max_new)."""
     from .generate import _microbatched_embeds
 
     gen_fn = make_spec_generate_fn(model, gen, cache_dtype, block_len,
                                    return_stats, prefill_chunk,
-                                   forced_content)
+                                   forced_content, fanout=fanout)
 
     def generate(params, input_ids, images, question_ids, prompt_len, rng,
                  script=None):
