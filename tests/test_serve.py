@@ -132,6 +132,54 @@ def test_llm_server_openai_protocol(llm_server_url):
     assert models["data"][0]["id"] == "tiny-test-llm"
 
 
+def test_llm_server_n_choices(llm_server_url):
+    """OpenAI ``n``: n choices come back with distinct indices; the greedy
+    server's choices are identical (one decode, copied)."""
+    status, out = _post(llm_server_url + "/v1/chat/completions",
+                        {"messages": [{"role": "user", "content": "hi"}],
+                         "n": 3})
+    assert status == 200
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    texts = [c["message"]["content"] for c in out["choices"]]
+    assert texts[0] == texts[1] == texts[2]  # greedy server
+
+    # stream + n>1 is rejected, not silently truncated
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(llm_server_url + "/v1/completions",
+              {"prompt": "x", "n": 2, "stream": True})
+    assert exc.value.code == 400
+
+
+def test_llm_server_sampled_n_fanout():
+    """A sampled TextLMServer decodes n choices in one fan-out call; the
+    choices differ (tiny random model => near-uniform logits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from u2tokenizer_tpu.config import LLMConfig
+    from u2tokenizer_tpu.models.llm.decoder import CausalLM
+    from u2tokenizer_tpu.serve import TextLMServer
+
+    cfg = LLMConfig.tiny()
+    model = CausalLM(cfg, dtype=jnp.float32)
+    emb = jnp.zeros((1, 8, cfg.hidden_size), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), emb,
+                        jnp.zeros((1, 8), jnp.int32),
+                        jnp.ones((1, 1, 8, 8), bool))
+    class IdTok(MockTokenizer):
+        # decode to raw ids — MockTokenizer maps every generated (random)
+        # id to "<unk>", hiding the row differences this test asserts
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids)
+
+    lm = TextLMServer(model, params, IdTok(), max_new_tokens=6,
+                      max_length=32, do_sample=True, top_p=0.95,
+                      speculative=False)
+    texts = lm.text_completion_n("describe the findings", 4)
+    assert len(texts) == 4
+    assert len(set(texts)) > 1
+
+
 def test_llm_server_spec_acceptance_telemetry(llm_server_url):
     """Greedy TextLMServer rides speculative decoding by default and its
     acceptance telemetry surfaces via /v1/config (roadmap QoL item)."""

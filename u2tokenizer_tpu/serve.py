@@ -158,6 +158,15 @@ class U2Server:
                     text = self.model.inference(image, question)
                 yield text
 
+    def chat_n(self, messages, n: int):
+        """n choices for one prompt (OpenAI ``n``). Backends exposing
+        text_completion_n (TextLMServer) decode all sampled choices in one
+        device call against the shared prompt KV; others loop."""
+        if n > 1 and hasattr(self.model, "text_completion_n"):
+            prompt = "\n".join(m.get("content", "") for m in messages)
+            return self.model.text_completion_n(prompt, n)
+        return [self.chat(messages) for _ in range(max(n, 1))]
+
     def chat_stream(self, messages):
         prompt = "\n".join(m.get("content", "") for m in messages)
         yield from self._stream(None, prompt)
@@ -211,6 +220,7 @@ class TextLMServer:
             self._gen = jax.jit(make_generate_fn(model, self.gen_cfg))
         self._lock = threading.Lock()
         self._calls = 0
+        self._fan_cache = {}  # n -> jitted fan-out generate (OpenAI `n`)
         # acceptance telemetry (speculative only; surfaced via /v1/config):
         # mean acceptance = emitted_tokens / verify_steps
         self.spec_stats = {"emitted_tokens": 0, "verify_steps": 0}
@@ -244,6 +254,37 @@ class TextLMServer:
         return self.tokenizer.decode(
             [t for t in toks[0] if t != self.gen_cfg.pad_token_id],
             skip_special_tokens=True)
+
+    def text_completion_n(self, prompt: str, n: int):
+        """n choices for one prompt (OpenAI ``n``). A sampled server decodes
+        all n rows in ONE device call against the case-shared prompt KV —
+        prefill and prompt-cache traffic once per request, not per choice
+        (generate.make_fanout_generate_fn, exact output distribution). A
+        greedy server returns n copies of its single deterministic
+        completion."""
+        import jax.numpy as jnp
+
+        if n <= 1 or not self.gen_cfg.do_sample:
+            return [self.text_completion(prompt)] * max(n, 1)
+        if n not in self._fan_cache:
+            from .models.generate import make_fanout_generate_fn
+
+            self._fan_cache[n] = self._jax.jit(
+                make_fanout_generate_fn(self.model, self.gen_cfg, n))
+        ids = self.tokenizer(prompt)["input_ids"][: self.max_length]
+        arr = np.full((1, self.max_length), self.gen_cfg.pad_token_id,
+                      np.int32)
+        arr[0, : len(ids)] = ids
+        with self._lock:
+            self._calls += 1
+            embeds = self.model.apply(self.params, jnp.asarray(arr),
+                                      method=type(self.model).embed_tokens)
+            toks = np.asarray(self._fan_cache[n](
+                self.params, embeds, jnp.asarray([len(ids)], jnp.int32),
+                self._jax.random.PRNGKey(self._calls)))
+        return [self.tokenizer.decode(
+            [t for t in row if t != self.gen_cfg.pad_token_id],
+            skip_special_tokens=True) for row in toks]
 
     # U2Server-compatible surface (chat endpoint)
     def inference(self, image, question: str) -> str:
@@ -497,31 +538,44 @@ def make_handler(server: U2Server):
                     self._send(200, {"report": text,
                                      "latency_s": round(time.time() - t0, 3)})
                 elif self.path == "/v1/chat/completions":
+                    n = max(int(req.get("n") or 1), 1)
                     if stream:
+                        if n > 1:
+                            self._send(400, {"error":
+                                             "stream with n>1 unsupported"})
+                            return
                         self._send_sse(
                             server.chat_stream(req.get("messages", [])),
                             lambda d: {"choices": [{
                                 "delta": {"content": d}, "index": 0,
                                 "finish_reason": None}]})
                         return
-                    text = server.chat(req.get("messages", []))
+                    texts = server.chat_n(req.get("messages", []), n)
                     self._send(200, {
-                        "choices": [{"message": {"role": "assistant",
-                                                 "content": text},
-                                     "finish_reason": "stop"}],
+                        "choices": [{"index": i,
+                                     "message": {"role": "assistant",
+                                                 "content": t},
+                                     "finish_reason": "stop"}
+                                    for i, t in enumerate(texts)],
                     })
                 elif self.path == "/v1/completions":
                     msgs = [{"role": "user", "content": req.get("prompt", "")}]
+                    n = max(int(req.get("n") or 1), 1)
                     if stream:
+                        if n > 1:
+                            self._send(400, {"error":
+                                             "stream with n>1 unsupported"})
+                            return
                         self._send_sse(
                             server.chat_stream(msgs),
                             lambda d: {"choices": [{"text": d, "index": 0,
                                                     "finish_reason": None}]})
                         return
-                    text = server.chat(msgs)
+                    texts = server.chat_n(msgs, n)
                     self._send(200, {
-                        "choices": [{"text": text, "index": 0,
-                                     "finish_reason": "stop"}],
+                        "choices": [{"text": t, "index": i,
+                                     "finish_reason": "stop"}
+                                    for i, t in enumerate(texts)],
                     })
                 else:
                     self._send(404, {"error": "not found"})
