@@ -67,7 +67,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_backend(timeout_s: int = 300) -> None:
+    """Fail FAST (clear stderr + exit 2) when the TPU backend is
+    unreachable — device enumeration hangs indefinitely when the axon
+    tunnel is down, which would otherwise stall the whole bench run. The
+    probe runs in a bounded subprocess so this process never initializes
+    a broken backend."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    try:
+        subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            env=dict(os.environ), capture_output=True, timeout=timeout_s,
+            check=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"bench: TPU backend unreachable ({type(e).__name__}); "
+              "is the axon tunnel up?", file=_sys.stderr, flush=True)
+        raise SystemExit(2)
+
+
 def main():
+    _probe_backend()
     try:  # persistent compile cache (harmless if unsupported on this platform)
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
