@@ -213,6 +213,27 @@ def test_cli_qlora_training_runs(tmp_path):
     assert len(losses) >= 6 and losses[-1] < losses[0]
 
 
+def test_quantize_preserves_adapters(float_lm):
+    """Quantizing a tree that already carries LoRA adapters keeps them
+    (a float-LoRA checkpoint re-quantized for QLoRA must not silently
+    lose its fine-tune)."""
+    cfg, model, params, ids = float_lm
+    qparams = quantize_llm_weights(params, "int8")
+    qcfg = qlora_config(cfg, rank=4, mode="int8")
+    lmodel = CausalLM(qcfg, dtype=jnp.float32)
+    emb0 = jnp.zeros((2, 10, cfg.hidden_size), jnp.float32)
+    lparams = init_qlora_from_quantized(
+        lmodel, jax.random.PRNGKey(7), qparams, emb0,
+        jnp.zeros((2, 10), jnp.int32),
+        jnp.tril(jnp.ones((10, 10), bool))[None, None])
+    # dequantize -> float tree WITH adapters; re-quantize must keep them
+    requant = quantize_llm_weights(dequantize_llm_weights(lparams), "int8")
+    flat = flatten_dict(requant, sep="/")
+    lora_keys = [k for k in flatten_dict(lparams, sep="/")
+                 if k.endswith(("/lora_a", "/lora_b"))]
+    assert lora_keys and all(k in flat for k in lora_keys)
+
+
 @pytest.mark.parametrize("mode", ["int8", "int4"])
 def test_dequantize_roundtrip(float_lm, mode):
     """dequantize(quantize(w)) reproduces w within the quantization step."""

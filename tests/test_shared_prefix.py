@@ -128,3 +128,34 @@ def test_jax_judge_share_prefix_identical():
                      max_new_tokens=6, chat_format=False, speculative=True)
     judge(prompts)
     assert any(split > 0 for (_, split) in judge._gen_cache)
+
+
+def test_jax_judge_share_prefix_empty_prompt():
+    """A batch containing an empty tokenization (width 0) must clamp the
+    shared split to 0, not -256 (regression: min(lcp, width-1)//256*256
+    went negative and compiled a bogus shared-prefix decode)."""
+    from u2tokenizer_tpu.eval.green import JaxJudge
+
+    class _Tok:
+        eos_token_id = 2
+        pad_token_id = 0
+        eos_token = "</s>"
+
+        def __call__(self, text):
+            return {"input_ids": [3 + (b % 60) for b in text.encode()]}
+
+        def decode(self, toks, skip_special_tokens=True):
+            return " ".join(str(t) for t in toks)
+
+    cfg = LLMConfig.tiny()
+    model = CausalLM(cfg, dtype=jnp.float32)
+    emb0 = jnp.zeros((1, 8, cfg.hidden_size), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), emb0,
+                        jnp.zeros((1, 8), jnp.int32),
+                        jnp.tril(jnp.ones((8, 8), bool))[None, None])
+    judge = JaxJudge(model, params, _Tok(), batch_size=2, max_length=64,
+                     max_new_tokens=4, chat_format=False,
+                     share_prefix=True)
+    outs = judge(["", "some finding"])
+    assert len(outs) == 2
+    assert all(split == 0 for (_, split) in judge._gen_cache)

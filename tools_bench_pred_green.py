@@ -137,17 +137,32 @@ def stage_predict():
 
         script = jnp.asarray(report_token_scripts(
             b_pred, PRED_TOKENS + 8, cfg.llm.vocab_size, seed=21))
-        base_fn = make_spec_multimodal_generate_fn(
-            model, gen, cache_dtype="int8", forced_content=True,
-            fanout=N_SAMPLES if FANOUT else None, return_stats=True)
         if FANOUT:
+            base_fn = make_spec_multimodal_generate_fn(
+                model, gen, cache_dtype="int8", forced_content=True,
+                fanout=N_SAMPLES, return_stats=True)
             predict = lambda p, i, im, q, pl, r: base_fn(
                 p, i, im, q, pl, r, script)
         else:
-            predict = lambda p, i, im, q, pl, r: base_fn(
-                p, jnp.repeat(i, N_SAMPLES, 0), jnp.repeat(im, N_SAMPLES, 0),
-                jnp.repeat(q, N_SAMPLES, 0), jnp.repeat(pl, N_SAMPLES, 0),
-                r, script)
+            # tiled spec baseline: encode CASES volumes ONCE and tile the
+            # EMBEDS (matching the non-spec tiled baseline) — repeating the
+            # images would re-run the ViT per sample row and flatter any
+            # spec+fanout comparison
+            from u2tokenizer_tpu.models.generate import _microbatched_embeds
+            from u2tokenizer_tpu.models.speculative import (
+                make_spec_generate_fn)
+
+            spec_fn = make_spec_generate_fn(
+                model, gen, cache_dtype="int8", forced_content=True,
+                return_stats=True)
+
+            def predict(p, i, im, q, pl, r):
+                embeds_c = _microbatched_embeds(model, p, i, im, q, 128)
+                return spec_fn(p, jnp.repeat(embeds_c, N_SAMPLES, 0),
+                               jnp.repeat(i, N_SAMPLES, 0),
+                               jnp.repeat(pl, N_SAMPLES, 0), r, script)
+
+            predict = jax.jit(predict)
         log("stage1: compiling speculative sampled generate "
             f"({'fan-out shared prefix' if FANOUT else 'tiled rows'})")
     elif FANOUT:
@@ -239,10 +254,14 @@ def stage_judge():
     # the [template ; reference report] head and differ in the candidate
     # tail (green_refactored/utils.py:318-332) — rows are case-grouped
     rng_np = np.random.default_rng(12)
-    shared_heads = rng_np.integers(
-        1, jcfg.vocab_size, (jb // N_SAMPLES, JUDGE_SHARED_TOKENS))
-    prompt_np[:, :JUDGE_SHARED_TOKENS] = np.repeat(shared_heads, N_SAMPLES,
-                                                   axis=0)
+    if jb % N_SAMPLES == 0:
+        shared_heads = rng_np.integers(
+            1, jcfg.vocab_size, (jb // N_SAMPLES, JUDGE_SHARED_TOKENS))
+        prompt_np[:, :JUDGE_SHARED_TOKENS] = np.repeat(
+            shared_heads, N_SAMPLES, axis=0)
+    else:  # non-divisible batch: per-row heads, sharing falls back off
+        prompt_np[:, :JUDGE_SHARED_TOKENS] = rng_np.integers(
+            1, jcfg.vocab_size, (jb, JUDGE_SHARED_TOKENS))
     # embed the quoted report inside the per-row candidate tail (as GREEN's
     # prompt does) so the drafter has real history to match
     prompt_np[:, -JUDGE_TOKENS:] = script[:, :JUDGE_TOKENS]

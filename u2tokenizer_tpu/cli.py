@@ -432,8 +432,10 @@ def cmd_generate(args):
                 toks = fan_fn(params, ids, jnp.asarray(s["image"][None]),
                               jnp.asarray(s["question_ids"][None]), plen, sub)
                 texts = [decode_row(row) for row in np.asarray(toks)]
-                preds = ([t for t in texts if check_report_validity(t)]
-                         or [texts[-1]])
+                # same filter semantics as the per-sample loop below: keep
+                # valid texts, and the final sample unconditionally
+                preds = [t for k, t in enumerate(texts)
+                         if check_report_validity(t) or k == len(texts) - 1]
             else:
                 preds = []
                 for k in range(args.num_samples):

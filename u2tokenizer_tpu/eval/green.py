@@ -545,7 +545,9 @@ class JaxJudge:
                 width = int(lens.min())
                 same = (ids[:, :width] == ids[0:1, :width]).all(axis=0)
                 lcp = width if same.all() else int(np.argmin(same))
-                split = (min(lcp, width - 1) // 256) * 256
+                # max(..., 0): a zero-length tokenization gives width 0 and
+                # min(lcp, -1)//256*256 = -256, a truthy negative split
+                split = max((min(lcp, width - 1) // 256) * 256, 0)
             gen_fn = self._gen_for(run_bs, split)
             embeds = self.model.apply(self.params, jnp.asarray(ids),
                                       method=type(self.model).embed_tokens)

@@ -77,6 +77,9 @@ def _quantize_tree(node: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
                     new = {"kernel": q, "scale": scale.reshape(-1)}
                 if "bias" in val:
                     new["bias"] = val["bias"].astype(jnp.float32)
+                for extra in ("lora_a", "lora_b"):  # QLoRA adapters survive
+                    if extra in val:
+                        new[extra] = val[extra]
                 out[key] = new
             else:
                 out[key] = _quantize_tree(val, mode)

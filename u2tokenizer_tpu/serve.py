@@ -225,18 +225,28 @@ class TextLMServer:
         # mean acceptance = emitted_tokens / verify_steps
         self.spec_stats = {"emitted_tokens": 0, "verify_steps": 0}
 
-    def text_completion(self, prompt: str) -> str:
-        import jax.numpy as jnp
-
+    def _encode_prompt(self, prompt: str):
+        """Tokenize + right-pad one prompt: (1, max_length) ids, length."""
         ids = self.tokenizer(prompt)["input_ids"][: self.max_length]
         arr = np.full((1, self.max_length), self.gen_cfg.pad_token_id,
                       np.int32)
         arr[0, : len(ids)] = ids
+        return arr, len(ids)
+
+    def _decode_row(self, row) -> str:
+        return self.tokenizer.decode(
+            [t for t in row if t != self.gen_cfg.pad_token_id],
+            skip_special_tokens=True)
+
+    def text_completion(self, prompt: str) -> str:
+        import jax.numpy as jnp
+
+        arr, n_ids = self._encode_prompt(prompt)
         with self._lock:
             self._calls += 1
             embeds = self.model.apply(self.params, jnp.asarray(arr),
                                       method=type(self.model).embed_tokens)
-            lens = jnp.asarray([len(ids)], jnp.int32)
+            lens = jnp.asarray([n_ids], jnp.int32)
             key = self._jax.random.PRNGKey(self._calls)
             if self._speculative:
                 toks, steps = self._gen(self.params, embeds,
@@ -251,9 +261,7 @@ class TextLMServer:
                 self.spec_stats["verify_steps"] += int(np.asarray(steps))
             else:
                 toks = np.asarray(self._gen(self.params, embeds, lens, key))
-        return self.tokenizer.decode(
-            [t for t in toks[0] if t != self.gen_cfg.pad_token_id],
-            skip_special_tokens=True)
+        return self._decode_row(toks[0])
 
     def text_completion_n(self, prompt: str, n: int):
         """n choices for one prompt (OpenAI ``n``). A sampled server decodes
@@ -271,20 +279,15 @@ class TextLMServer:
 
             self._fan_cache[n] = self._jax.jit(
                 make_fanout_generate_fn(self.model, self.gen_cfg, n))
-        ids = self.tokenizer(prompt)["input_ids"][: self.max_length]
-        arr = np.full((1, self.max_length), self.gen_cfg.pad_token_id,
-                      np.int32)
-        arr[0, : len(ids)] = ids
+        arr, n_ids = self._encode_prompt(prompt)
         with self._lock:
             self._calls += 1
             embeds = self.model.apply(self.params, jnp.asarray(arr),
                                       method=type(self.model).embed_tokens)
             toks = np.asarray(self._fan_cache[n](
-                self.params, embeds, jnp.asarray([len(ids)], jnp.int32),
+                self.params, embeds, jnp.asarray([n_ids], jnp.int32),
                 self._jax.random.PRNGKey(self._calls)))
-        return [self.tokenizer.decode(
-            [t for t in row if t != self.gen_cfg.pad_token_id],
-            skip_special_tokens=True) for row in toks]
+        return [self._decode_row(row) for row in toks]
 
     # U2Server-compatible surface (chat endpoint)
     def inference(self, image, question: str) -> str:
@@ -395,6 +398,12 @@ async function run(){
   btn.disabled=false;
 }
 </script></body></html>"""
+
+
+# OpenAI `n` upper bound: each distinct n jit-compiles (and caches) an
+# n-row fan-out decode, so n must be small and bounded (16 matches the
+# pred_then_green protocol's 8 with headroom)
+MAX_N_CHOICES = 16
 
 
 def make_handler(server: U2Server):
@@ -539,6 +548,12 @@ def make_handler(server: U2Server):
                                      "latency_s": round(time.time() - t0, 3)})
                 elif self.path == "/v1/chat/completions":
                     n = max(int(req.get("n") or 1), 1)
+                    if n > MAX_N_CHOICES:
+                        # unbounded n would jit-compile an n-row decode and
+                        # cache it forever — refuse instead of OOMing
+                        self._send(400, {"error":
+                                         f"n > {MAX_N_CHOICES} unsupported"})
+                        return
                     if stream:
                         if n > 1:
                             self._send(400, {"error":
@@ -561,6 +576,12 @@ def make_handler(server: U2Server):
                 elif self.path == "/v1/completions":
                     msgs = [{"role": "user", "content": req.get("prompt", "")}]
                     n = max(int(req.get("n") or 1), 1)
+                    if n > MAX_N_CHOICES:
+                        # unbounded n would jit-compile an n-row decode and
+                        # cache it forever — refuse instead of OOMing
+                        self._send(400, {"error":
+                                         f"n > {MAX_N_CHOICES} unsupported"})
+                        return
                     if stream:
                         if n > 1:
                             self._send(400, {"error":
