@@ -73,9 +73,11 @@ def test_flash_gradients_match():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_decode_attention_int8_matches_reference():
-    """Fused int8 decode kernel (interpret mode) vs the XLA quantized-GQA
-    reference with the two-interval decode mask."""
+@pytest.mark.parametrize("qdt", ["int8", "int4"])
+def test_decode_attention_quantized_matches_reference(qdt):
+    """Fused quantized decode kernel (interpret mode) vs the XLA
+    quantized-GQA reference with the two-interval decode mask, for both
+    cache dtypes the kernel accepts."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -90,8 +92,9 @@ def test_decode_attention_int8_matches_reference():
     q = jax.random.normal(rng, (b, 1, h, d), jnp.float32)
     kf = jax.random.normal(jax.random.PRNGKey(1), (b, sk, hkv, d))
     vf = jax.random.normal(jax.random.PRNGKey(2), (b, sk, hkv, d))
-    k_int, k_s = quantize_kv(kf)
-    v_int, v_s = quantize_kv(vf)
+    dt = jnp.int4 if qdt == "int4" else jnp.int8
+    k_int, k_s = quantize_kv(kf, dtype=dt)
+    v_int, v_s = quantize_kv(vf, dtype=dt)
     k_int = jnp.transpose(k_int, (0, 2, 1, 3))  # head-major cache layout
     v_int = jnp.transpose(v_int, (0, 2, 1, 3))
     k_scale = jnp.transpose(k_s[..., 0], (0, 2, 1)).astype(jnp.float32)

@@ -126,13 +126,20 @@ def test_nucleus_sample_distribution_matches_dense():
     dense_draws = np.asarray(jax.vmap(
         lambda k: jax.random.categorical(
             k, _reference_filter(lj, 0.9), axis=-1)[0])(keys))
-    # identical support
-    assert set(fast_draws) <= set(range(6)) | set(dense_draws)
-    # frequencies agree within sampling noise on the dominant tokens
+    # every draw lands inside the exact nucleus (this fixture's nucleus
+    # spills past k=128 — ~1460 tokens — so it exercises the escalation
+    # level, whose k-space categorical uses different-but-exact draws)
+    finite = np.isfinite(np.asarray(_reference_filter(lj, 0.9)))[0]
+    assert finite[fast_draws].all()
+    # frequencies agree within sampling noise on the dominant tokens and
+    # on the aggregate tail mass
     for tok in range(3):
         f1 = (fast_draws == tok).mean()
         f2 = (dense_draws == tok).mean()
         assert abs(f1 - f2) < 0.05, (tok, f1, f2)
+    tail1 = (fast_draws >= 6).mean()
+    tail2 = (dense_draws >= 6).mean()
+    assert abs(tail1 - tail2) < 0.05, (tail1, tail2)
 
 
 def test_nucleus_membership_bounds_bracket_exact_p():
@@ -191,6 +198,46 @@ def test_topk_nucleus_threshold_ties_match_dense():
         lambda k: jax.random.categorical(
             k, _reference_filter(lj, 0.8), axis=-1)[0])(keys))
     assert set(draws) == set(dense)
+
+
+def test_kspace_escalation_level_exact():
+    """A batch with one row whose nucleus spills past k=128 but fits in
+    k_escalate: the middle cascade level must produce dense-exact values
+    (one flat row at B=64 must not force a full-vocab sort)."""
+    from u2tokenizer_tpu.ops.sampling import (nucleus_accept_residual,
+                                              nucleus_p_draft)
+
+    rng = np.random.default_rng(12)
+    v = 8192
+    logits = rng.normal(0, 0.05, (8, v)).astype(np.float32)
+    logits[:7, :10] += 14.0        # peaked rows: nucleus << 128
+    logits[7, :512] += 14.0        # flat-ish row: nucleus ~460 in (128,2048)
+    draft = np.asarray([0, 3, 9, 11, -1, 2, 5, 300], np.int32)
+    lj, dj = jnp.asarray(logits), jnp.asarray(draft)
+
+    ref_p = jax.nn.softmax(_reference_filter(lj, 0.9), axis=-1)
+    expected = np.asarray([float(ref_p[i, d]) if d >= 0 else 0.0
+                           for i, d in enumerate(draft)])
+    np.testing.assert_allclose(np.asarray(nucleus_p_draft(lj, dj, 0.9)),
+                               expected, rtol=1e-5, atol=1e-8)
+    p_d, fresh = nucleus_accept_residual(jax.random.PRNGKey(1), lj, dj, 0.9)
+    np.testing.assert_allclose(np.asarray(p_d), expected,
+                               rtol=1e-5, atol=1e-8)
+    finite = np.isfinite(np.asarray(_reference_filter(lj, 0.9)))
+    for i, f in enumerate(np.asarray(fresh)):
+        assert finite[i, f], i
+
+    # nucleus past k_escalate too (uniform): final dense level still exact
+    wide = rng.normal(0, 0.001, (2, v)).astype(np.float32)
+    wj = jnp.asarray(wide)
+    dw = jnp.asarray([5, 4000], jnp.int32)
+    ref_w = jax.nn.softmax(_reference_filter(wj, 0.9), axis=-1)
+    exp_w = np.asarray([float(ref_w[i, d])
+                        if np.isfinite(np.asarray(
+                            _reference_filter(wj, 0.9))[i, d]) else 0.0
+                        for i, d in enumerate(np.asarray(dw))])
+    np.testing.assert_allclose(np.asarray(nucleus_p_draft(wj, dw, 0.9)),
+                               exp_w, rtol=1e-5, atol=1e-8)
 
 
 def test_sample_routes_large_vocab_through_kspace():

@@ -243,6 +243,57 @@ def test_adaptive_engine_stays_spec_on_high_acceptance(setup):
         assert auto.spec_mode == "spec"
 
 
+def test_adaptive_engine_walks_block_ladder_down(setup):
+    """An unreachable threshold walks the ladder 4 -> 2 -> 1 one rung per
+    full window (not a binary flip to plain), with tokens still identical
+    to the plain engine."""
+    cfg, model, params, gen, requests = setup
+    plain = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                   cache_dtype=jnp.float32)
+    rids_p = [plain.submit(*requests[i]) for i in range(5)]
+    ref = plain.run()
+
+    auto = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                  cache_dtype=jnp.float32, speculative="auto", block_len=4,
+                  spec_threshold=5.0, spec_window=2, probe_every=100)
+    assert auto._kb_ladder == [1, 2, 4] and auto.spec_block_len == 4
+    sizes = []
+    rids_a = [auto.submit(*requests[i]) for i in range(5)]
+    while auto._queue or auto._by_slot:
+        auto.step()
+        sizes.append(auto.spec_block_len)
+    for a, b in zip(rids_p, rids_a):
+        assert ref[a] == auto._results[b], (ref[a], auto._results[b])
+    # the intermediate rung must be visited on the way down
+    assert 2 in sizes and 1 in sizes, sizes
+    assert sizes.index(2) < sizes.index(1), sizes
+
+
+def test_adaptive_engine_climbs_ladder_on_acceptance(setup):
+    """From the kb=1 rung, probe_every dispatches climb one rung, and a
+    window accepting >= grow_frac * kb climbs further (grow_frac=0 makes
+    every full window climb) — up to the top rung."""
+    cfg, model, params, gen, requests = setup
+    auto = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                  cache_dtype=jnp.float32, speculative="auto", block_len=4,
+                  spec_threshold=0.0, spec_window=1, probe_every=2,
+                  grow_frac=0.0)
+    auto._rung = 0  # start pinned at one-token dispatches
+    sizes = []
+    for i in range(5):
+        auto.submit(*requests[i])
+    while auto._queue or auto._by_slot:
+        auto.step()
+        sizes.append(auto.spec_block_len)
+    assert 4 in sizes, sizes  # climbed 1 -> 2 -> 4
+    ref = Engine(model, params, gen, num_slots=2, prompt_buf=PROMPT_BUF,
+                 cache_dtype=jnp.float32)
+    rids = [ref.submit(*requests[i]) for i in range(5)]
+    out = ref.run()
+    for rid, (_, toks) in zip(rids, sorted(auto._results.items())):
+        assert out[rid] == toks
+
+
 def test_engine_inference_rejects_bad_volume_shape(setup):
     """A mis-shaped volume raises in the caller's thread with an actionable
     message and never reaches the engine; the pool keeps serving."""
@@ -317,7 +368,7 @@ def test_engine_telemetry(setup):
     t0 = engine.telemetry()
     assert t0 == {"queue_depth": 0, "active_slots": 0, "num_slots": 2,
                   "completed_requests": 0, "emitted_tokens_total": 0,
-                  "tokens_per_s": 0.0}
+                  "tokens_per_s": 0.0, "spec_block_len": 1}
     for i in range(3):
         engine.submit(*requests[i])
     assert engine.telemetry()["queue_depth"] == 3

@@ -41,9 +41,15 @@ reqs = [np.asarray(jax.random.randint(jax.random.PRNGKey(i), (1, PROMPT),
                                       1, cfg.vocab_size), np.int32)
         for i in range(NREQ)]
 
-for label, spec in (("plain", False), ("speculative", True)):
+# rows: plain engine, spec at each ladder rung (block_len pins the rung:
+# per-dispatch cost c(k) calibrates the adaptive ladder's thresholds),
+# and the adaptive engine itself
+ROWS = [("plain", False, 8), ("spec-kb2", True, 2), ("spec-kb4", True, 4),
+        ("spec-kb8", True, 8), ("adaptive", "auto", 8)]
+
+for label, spec, kb in ROWS:
     eng = Engine(qmodel, params, gen, num_slots=SLOTS, prompt_buf=PROMPT,
-                 cache_dtype="int8", speculative=spec)
+                 cache_dtype="int8", speculative=spec, block_len=kb)
     # warm the jits (prefill + decode compile) with one request
     r0 = eng.submit(reqs[0])
     t0 = time.time()
@@ -52,7 +58,7 @@ for label, spec in (("plain", False), ("speculative", True)):
           flush=True)
 
     eng2 = Engine(qmodel, params, gen, num_slots=SLOTS, prompt_buf=PROMPT,
-                  cache_dtype="int8", speculative=spec)
+                  cache_dtype="int8", speculative=spec, block_len=kb)
     for r in reqs:
         eng2.submit(r)
     steps = 0
@@ -63,6 +69,12 @@ for label, spec in (("plain", False), ("speculative", True)):
     dt = time.time() - t0
     out = eng2._results
     toks = sum(len(v) for v in out.values())
+    extra = ""
+    if spec:
+        ss = eng2.spec_stats
+        acc = ss["emitted_tokens"] / max(ss["verify_steps"], 1)
+        extra = f", accept {acc:.2f}/step, final kb={eng2.spec_block_len}"
     print(f"{label}: {NREQ} reqs x {MAX_NEW} tok on {SLOTS} slots: "
           f"{dt:.1f}s, {toks} tokens -> {toks/dt:.0f} tok/s, "
-          f"{steps} dispatches ({dt/steps*1e3:.0f} ms/dispatch)", flush=True)
+          f"{steps} dispatches ({dt/steps*1e3:.0f} ms/dispatch){extra}",
+          flush=True)

@@ -48,6 +48,20 @@ PG_STATE=/tmp/pg_full.json PG_STAGE=report python tools_bench_pred_green.py
 echo "=== 8B QLoRA SFT proof (int4 frozen base, one 16 GB chip)"
 TRAIN_STEPS=4 timeout 5000 python tools_train_8b_qlora.py
 
+echo "=== slot-engine ladder sweep (per-dispatch cost per verify-block size)"
+timeout 4000 python tools_bench_slots.py
+
+echo "=== 8B memory diet: B48 all-int4 with vision microbatch 32"
+BENCH_MODEL=8b BENCH_BATCH=48 BENCH_WQ=int4 BENCH_KV=int4 BENCH_VMB=32 \
+  BENCH_PLAIN_TOO=0 timeout 4000 python bench.py || \
+  echo "8B B48 attempt failed (expected if activations still peak)"
+
+echo "=== int4 fused decode kernel A/B (Mosaic int4 validation + speed)"
+BENCH_KV=int4 BENCH_PLAIN_TOO=0 timeout 3000 python bench.py
+U2_INT4_DECODE_KERNEL=1 BENCH_KV=int4 BENCH_PLAIN_TOO=0 \
+  timeout 3000 python bench.py || \
+  echo "int4 pallas kernel failed to compile (Mosaic int4 unsupported?) — keep the gate off"
+
 echo "=== headline bench sanity"
 timeout 3000 python bench.py
 

@@ -1257,9 +1257,11 @@ def build_parser():
                     choices=["on", "auto"],
                     help="n-gram-drafted decode (greedy: opt-in on the "
                          "slot engine; exact tokens either way). 'auto' "
-                         "(slot engine) adapts to measured acceptance: "
-                         "falls back to one-token dispatches on "
-                         "low-acceptance content, re-probes periodically")
+                         "(slot engine) walks a ladder of verify-block "
+                         "sizes (1..block_len) on measured acceptance: "
+                         "down to one-token dispatches on low-acceptance "
+                         "content, up on template-heavy content, "
+                         "re-probing periodically")
     sv.add_argument("--weights", choices=["bf16", "int8", "int4"],
                     default="bf16",
                     help="serving weight precision (the online_demo.py "

@@ -27,11 +27,21 @@ from flax import struct
 from ...config import LLMConfig
 from ...ops.attention import (gqa_sdpa, gqa_sdpa_fanout, gqa_sdpa_headmajor,
                               gqa_sdpa_quantized, quantize_kv)
-from ...ops.decode_attention import decode_attention_int8
+from ...ops.decode_attention import decode_attention_quantized
 from ...ops.flash_attention import flash_attention
 from ...ops.rotary import apply_rope, rope_cos_sin
 
 Dtype = Any
+
+
+def _int4_decode_kernel_enabled() -> bool:
+    """Opt-in gate for routing the int4 KV cache through the fused Pallas
+    decode kernel (U2_INT4_DECODE_KERNEL=1). The kernel body is dtype-
+    generic but int4 block loads need Mosaic int4 support, which cannot be
+    validated off-hardware — default stays the XLA quantized-GQA path."""
+    import os
+
+    return os.environ.get("U2_INT4_DECODE_KERNEL", "0") == "1"
 
 
 @struct.dataclass
@@ -308,14 +318,16 @@ class Attention(nn.Module):
                 prefix_mask=prefix_mask, suffix_mask=mask)
         elif quantized_decode:
             if (s == 1 and decode_bounds is not None
-                    and k_att.dtype == jnp.int8  # pallas kernel is int8-only
+                    and (k_att.dtype == jnp.int8
+                         or (k_att.dtype == jnp.int4
+                             and _int4_decode_kernel_enabled()))
                     and cfg.use_flash_attention
                     and jax.default_backend() == "tpu"):
-                # fused Pallas kernel: one pass over the int8 cache, scales
-                # and the two-interval decode mask applied in registers
+                # fused Pallas kernel: one pass over the quantized cache,
+                # scales and the two-interval decode mask in registers
                 plen, end, s_prompt = decode_bounds
-                out = decode_attention_int8(q, ck, ks, cv, vs, plen, end,
-                                            s_prompt)
+                out = decode_attention_quantized(q, ck, ks, cv, vs, plen,
+                                                 end, s_prompt)
             else:
                 out = gqa_sdpa_quantized(q, k_att, ks, v_att, vs, mask=mask)
         elif use_flash:

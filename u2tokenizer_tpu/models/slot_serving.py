@@ -141,12 +141,15 @@ def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
     per call). Tokens are bit-identical to the plain slot engine
     (models/speculative.py acceptance rule).
 
-    Returns (init_state, prefill_fn, decode_fn, decode_one_fn).
-    decode_fn(params, state, rng) -> (state, packed (S, block_len + 1)):
-    row j emitted packed[j, :packed[j, -1]] (tokens and per-row counts
-    packed into one array so the host fetches once per step).
-    decode_one_fn is the kb=1 instantiation — a plain one-token step over
-    the same state layout, used by the adaptive engine's fallback mode.
+    Returns (init_state, prefill_fn, make_decode).
+    make_decode(kbx) builds a decode over the SAME state layout with a
+    ``kbx``-position verify block (1 <= kbx <= block_len; the cache slack
+    is sized for block_len, so every smaller block shares the state):
+    decode_fn(params, state, rng) -> (state, packed (S, kbx + 1)): row j
+    emitted packed[j, :packed[j, -1]] (tokens and per-row counts packed
+    into one array so the host fetches once per step). kbx=1 degenerates
+    to a plain one-token step — the adaptive engine walks a ladder of
+    block sizes between the two extremes without state surgery.
     """
     from .speculative import ngram_draft
     from .u2_model import causal_padding_mask
@@ -211,7 +214,10 @@ def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
     def make_decode(kbx: int):
         """Verify-block decode with ``kbx`` positions over the SAME state
         layout. kbx=1 degenerates to the plain one-token step (no drafts) —
-        the adaptive engine flips between the two without state surgery."""
+        the adaptive engine walks block sizes without state surgery."""
+        if not 1 <= kbx <= kb:
+            raise ValueError(f"block size {kbx} outside [1, {kb}] — the "
+                             "cache slack is sized for block_len")
         koff = jnp.arange(kbx, dtype=jnp.int32)
 
         @jax.jit
@@ -289,7 +295,7 @@ def make_spec_slot_fns(model, gen: GenerationConfig, num_slots: int,
 
         return decode_fn
 
-    return init_state, prefill_fn, make_decode(kb), make_decode(1)
+    return init_state, prefill_fn, make_decode
 
 
 @dataclasses.dataclass
@@ -312,12 +318,15 @@ class Engine:
 
     ``speculative="auto"``: adaptive speculation — acceptance is content-
     dependent (measured 1.1/step on random prompts vs 4.0 on template-heavy
-    reports, BENCHMARKS.md) and a verify block costs ~2× a plain dispatch
-    on the axon relay, so the engine watches a sliding window of measured
-    acceptance and falls back to one-token dispatches (same state, same
-    tokens — a kb=1 verify block) when acceptance < ``spec_threshold``,
-    re-probing speculation every ``probe_every`` plain dispatches. Output
-    is bit-identical in every mode; only dispatch granularity adapts.
+    reports, BENCHMARKS.md) and a verify block's cost grows with its
+    length, so the engine walks a LADDER of block sizes
+    (1, 2, 4, ..., block_len — all sharing one compiled state layout):
+    a sliding window of measured acceptance below ``spec_threshold`` steps
+    one rung down (eventually to one-token dispatches), a window accepting
+    >= ``grow_frac`` of the current block steps one rung up, and after
+    ``probe_every`` one-token dispatches the engine re-probes the next
+    rung. Output is bit-identical at every rung; only dispatch granularity
+    adapts.
     """
 
     def __init__(self, model, params, gen: GenerationConfig,
@@ -325,7 +334,7 @@ class Engine:
                  cache_dtype=jnp.bfloat16, seed: int = 0,
                  speculative=False, block_len: int = 8,
                  spec_threshold: float = 2.0, spec_window: int = 16,
-                 probe_every: int = 64):
+                 probe_every: int = 64, grow_frac: float = 0.75):
         self.model = model
         self.params = params
         self.gen = gen
@@ -334,9 +343,21 @@ class Engine:
         self.adaptive = speculative == "auto"
         self.speculative = bool(speculative)
         if self.speculative:
-            (init_state, self._prefill, self._decode,
-             self._decode_one) = make_spec_slot_fns(
+            (init_state, self._prefill,
+             self._make_decode) = make_spec_slot_fns(
                 model, gen, num_slots, prompt_buf, cache_dtype, block_len)
+            # block-size ladder: powers of two up to block_len; every rung
+            # reuses the same slot state (cache slack is sized once for
+            # block_len), so walking costs one extra compile per rung USED
+            ladder = [1]
+            while ladder[-1] * 2 < block_len:
+                ladder.append(ladder[-1] * 2)
+            if block_len > 1:
+                ladder.append(block_len)
+            self._kb_ladder = ladder
+            self._decode_fns: Dict[int, Any] = {}
+            # non-adaptive engines stay pinned at the top rung
+            self._rung = len(ladder) - 1
         else:
             init_state, self._prefill, self._decode = make_slot_fns(
                 model, gen, num_slots, prompt_buf, cache_dtype)
@@ -354,7 +375,7 @@ class Engine:
         self.spec_threshold = spec_threshold
         self.spec_window = spec_window
         self.probe_every = probe_every
-        self.spec_mode = "spec" if self.speculative else "plain"
+        self.grow_frac = grow_frac
         self._accept_window: deque = deque(maxlen=spec_window)
         self._plain_dispatches = 0
         # engine telemetry: cumulative counters + a sliding window of
@@ -363,6 +384,25 @@ class Engine:
         self._emitted_total = 0
         self._completed = 0
         self._rate_window: deque = deque(maxlen=256)
+
+    @property
+    def spec_block_len(self) -> int:
+        """Current verify-block size (1 = plain one-token dispatches)."""
+        if not self.speculative:
+            return 1
+        return self._kb_ladder[self._rung]
+
+    @property
+    def spec_mode(self) -> str:
+        """'spec' when dispatches carry drafted verify blocks, else
+        'plain' (kb=1 rung or a non-speculative engine)."""
+        return "spec" if self.spec_block_len > 1 else "plain"
+
+    def _decode_for(self, kbx: int):
+        """Jitted decode for one ladder rung, compiled on first use."""
+        if kbx not in self._decode_fns:
+            self._decode_fns[kbx] = self._make_decode(kbx)
+        return self._decode_fns[kbx]
 
     def telemetry(self) -> Dict[str, Any]:
         """Live engine stats (served at GET /v1/config as ``engine``).
@@ -381,19 +421,28 @@ class Engine:
             "completed_requests": self._completed,
             "emitted_tokens_total": self._emitted_total,
             "tokens_per_s": round(rate, 1),
+            "spec_block_len": self.spec_block_len,
         }
 
     def _adapt(self, emitted: int, slot_steps: int) -> None:
-        """Update the sliding acceptance window after a SPEC dispatch and
-        flip to plain mode when measured acceptance drops below threshold."""
+        """Walk the block-size ladder on a full acceptance window: below
+        ``spec_threshold`` step one rung down (toward one-token
+        dispatches); accepting >= ``grow_frac`` of the current block step
+        one rung up (the content is template-heavy enough that a longer
+        block would still mostly accept)."""
         self._accept_window.append((emitted, slot_steps))
         if len(self._accept_window) < self.spec_window:
             return
         tok = sum(e for e, _ in self._accept_window)
         stp = max(sum(s for _, s in self._accept_window), 1)
-        if tok / stp < self.spec_threshold:
-            self.spec_mode = "plain"
+        accept = tok / stp
+        if accept < self.spec_threshold and self._rung > 0:
+            self._rung -= 1
             self._plain_dispatches = 0
+            self._accept_window.clear()
+        elif (accept >= self.grow_frac * self._kb_ladder[self._rung]
+              and self._rung < len(self._kb_ladder) - 1):
+            self._rung += 1
             self._accept_window.clear()
 
     def _next_rng(self):
@@ -493,13 +542,17 @@ class Engine:
         if self._by_slot:
             sub = self._next_rng()
             if self.speculative:
-                use_spec = not self.adaptive or self.spec_mode == "spec"
-                if not use_spec:
-                    # plain fallback: kb=1 verify block on the same state
+                kb_cur = self.spec_block_len
+                if self.adaptive and kb_cur == 1:
+                    # plain rung: kb=1 verify block on the same state;
+                    # periodically climb one rung to re-probe speculation
                     self._plain_dispatches += 1
                     if self._plain_dispatches >= self.probe_every:
-                        self.spec_mode = "spec"  # probe window next
-                fn = self._decode if use_spec else self._decode_one
+                        self._rung = min(self._rung + 1,
+                                         len(self._kb_ladder) - 1)
+                        self._plain_dispatches = 0
+                        self._accept_window.clear()
+                fn = self._decode_for(kb_cur)
                 # one fetch: (S, K) tokens packed with the (S,) counts
                 self.state, packed = fn(self.params, self.state, sub)
                 packed = np.asarray(packed)
@@ -515,7 +568,7 @@ class Engine:
                         emitted += 1
                 self.spec_stats["verify_steps"] += slot_steps
                 self.spec_stats["emitted_tokens"] += emitted
-                if self.adaptive and use_spec:
+                if self.adaptive and kb_cur > 1:
                     self._adapt(emitted, slot_steps)
             else:
                 self.state, toks = self._decode(self.params, self.state, sub)
@@ -616,6 +669,10 @@ class EngineInference:
     @property
     def spec_mode(self) -> str:
         return self.engine.spec_mode
+
+    @property
+    def spec_block_len(self) -> int:
+        return self.engine.spec_block_len
 
     @property
     def telemetry(self) -> Dict[str, Any]:

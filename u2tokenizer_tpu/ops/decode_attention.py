@@ -77,11 +77,11 @@ def _reference(q, k_int, k_scale, v_int, v_scale, prompt_len, end,
                               mask=visible[:, None, None, :], scale=scale)
 
 
-def decode_attention_int8(
+def decode_attention_quantized(
     q: jax.Array,          # (B, 1, H, D)
-    k_int: jax.Array,      # (B, Hkv, S, D) int8 — head-major cache layout
+    k_int: jax.Array,      # (B, Hkv, S, D) int8/int4 — head-major cache
     k_scale: jax.Array,    # (B, Hkv, S)
-    v_int: jax.Array,      # (B, Hkv, S, D) int8
+    v_int: jax.Array,      # (B, Hkv, S, D) int8/int4
     v_scale: jax.Array,    # (B, Hkv, S)
     prompt_len: jax.Array,  # (B,) int32
     end: jax.Array,         # (B,) int32: one past the last generated slot
@@ -89,7 +89,11 @@ def decode_attention_int8(
     scale: float = None,
     interpret: bool = None,
 ) -> jax.Array:
-    """Single-token GQA decode attention over the int8 cache -> (B, 1, H, D)."""
+    """Single-token GQA decode attention over the quantized cache ->
+    (B, 1, H, D). The kernel body is dtype-generic (values convert to bf16
+    in registers), so an int4 cache streams at half the int8 HBM bytes —
+    int4 block loads need Mosaic int4 support and are gated opt-in at the
+    decoder (``U2_INT4_DECODE_KERNEL=1``) until validated on hardware."""
     b, _, h, d = q.shape
     hkv, sk = k_int.shape[1], k_int.shape[2]
     group = h // hkv
@@ -126,3 +130,7 @@ def decode_attention_int8(
     )(prompt_len.astype(jnp.int32), end.astype(jnp.int32),
       qg, k_int, k_scale, v_int, v_scale)
     return out.reshape(b, 1, h, d)
+
+
+# backwards-compatible name (the kernel predates int4 support)
+decode_attention_int8 = decode_attention_quantized

@@ -92,9 +92,13 @@ def sample(
 # For large vocabularies the nucleus (top_p=0.9 on a peaked LM) almost
 # always lives inside the top-k prefix, so sampling and the speculative
 # accept/residual computation can run entirely in k-space after one
-# O(V log k) lax.top_k — no full-vocab sort, softmax, or categorical. A
-# lax.cond falls back to the dense path when any row's nucleus spills past
-# k; results are exact either way.
+# O(V log k) lax.top_k — no full-vocab sort, softmax, or categorical.
+# Containment is an ALL-ROWS condition, so at large batch one flat row
+# would otherwise route the whole call to the dense path (at B=64 and a
+# ~1% per-row spill rate that's ~half of all steps); instead the fallback
+# ESCALATES through a wider prefix (k -> k_escalate -> full sort), each
+# level's top_k running only when the previous level failed (nested
+# lax.cond false-branches). Results are exact at every level.
 
 
 def _topk_nucleus(logits: jax.Array, top_p: float, k: int):
@@ -126,21 +130,47 @@ def _topk_nucleus(logits: jax.Array, top_p: float, k: int):
     return topv, topi, keep, lse_n, contained
 
 
-def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float,
-                   k: int = 128) -> jax.Array:
-    """Exact top-p sampling via the k-space fast path."""
-    topv, topi, keep, _, contained = _topk_nucleus(logits, top_p, k)
+def _kspace_cascade(logits: jax.Array, top_p: float, make_fast, slow,
+                    operand, k: int, k_escalate: int):
+    """Escalating k-space dispatch: try ``make_fast(topv, topi, keep,
+    lse_n)`` at prefix size k, then k_escalate, then ``slow`` (dense).
+    Each wider top_k sits inside the previous lax.cond's false branch, so
+    it only executes when that level actually failed containment."""
+    v = logits.shape[-1]
+    ks = [kx for kx in (k, k_escalate) if kx < v]
+    if not ks:
+        return slow(operand)
 
-    def fast(_):
-        kl = jnp.where(keep, topv, -jnp.inf)
-        j = jax.random.categorical(rng, kl, axis=-1)
-        return jnp.take_along_axis(topi, j[:, None], axis=-1)[:, 0]
+    def level(i):
+        def run(op):
+            topv, topi, keep, lse_n, contained = _topk_nucleus(
+                logits, top_p, ks[i])
+            nxt = level(i + 1) if i + 1 < len(ks) else slow
+            return jax.lax.cond(contained,
+                                make_fast(topv, topi, keep, lse_n),
+                                nxt, op)
+        return run
+
+    return level(0)(operand)
+
+
+def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float,
+                   k: int = 128, k_escalate: int = 2048) -> jax.Array:
+    """Exact top-p sampling via the escalating k-space fast path."""
+
+    def make_fast(topv, topi, keep, _lse_n):
+        def fast(_):
+            kl = jnp.where(keep, topv, -jnp.inf)
+            j = jax.random.categorical(rng, kl, axis=-1)
+            return jnp.take_along_axis(topi, j[:, None], axis=-1)[:, 0]
+        return fast
 
     def slow(_):
         return jax.random.categorical(
             rng, top_p_filter(logits, top_p), axis=-1)
 
-    return jax.lax.cond(contained, fast, slow, None).astype(jnp.int32)
+    return _kspace_cascade(logits, top_p, make_fast, slow, None,
+                           k, k_escalate).astype(jnp.int32)
 
 
 def nucleus_membership_bounds(logits: jax.Array, draft: jax.Array,
@@ -188,31 +218,34 @@ def nucleus_membership_bounds(logits: jax.Array, draft: jax.Array,
 
 
 def nucleus_p_draft(logits: jax.Array, draft: jax.Array, top_p: float,
-                    k: int = 128) -> jax.Array:
-    """Exact warped probability of the draft token (k-space fast path,
-    dense fallback) — the p-only half of nucleus_accept_residual."""
+                    k: int = 128, k_escalate: int = 2048) -> jax.Array:
+    """Exact warped probability of the draft token (escalating k-space
+    fast path, dense fallback) — the p-only half of
+    nucleus_accept_residual."""
     b = logits.shape[0]
     rows = jnp.arange(b)
-    topv, topi, keep, lse_n, contained = _topk_nucleus(logits, top_p, k)
     d_safe = jnp.clip(draft, 0)
     l_d = logits.astype(jnp.float32)[rows, d_safe]
 
-    def fast(_):
-        is_member = ((topi == d_safe[:, None]) & keep).any(-1)
-        return jnp.where(is_member & (draft >= 0),
-                         jnp.exp(l_d - lse_n[:, 0]), 0.0)
+    def make_fast(topv, topi, keep, lse_n):
+        def fast(_):
+            is_member = ((topi == d_safe[:, None]) & keep).any(-1)
+            return jnp.where(is_member & (draft >= 0),
+                             jnp.exp(l_d - lse_n[:, 0]), 0.0)
+        return fast
 
     def slow(_):
         w = top_p_filter(logits.astype(jnp.float32), top_p)
         p = jax.nn.softmax(w, axis=-1)
         return jnp.where(draft >= 0, p[rows, d_safe], 0.0)
 
-    return jax.lax.cond(contained, fast, slow, None)
+    return _kspace_cascade(logits, top_p, make_fast, slow, None,
+                           k, k_escalate)
 
 
 def nucleus_accept_residual(rng: jax.Array, logits: jax.Array,
                             draft: jax.Array, top_p: float,
-                            k: int = 128):
+                            k: int = 128, k_escalate: int = 2048):
     """Speculative-sampling step in k-space: returns (p_draft, fresh).
 
     p_draft: the draft token's probability under the top-p-warped target
@@ -224,26 +257,27 @@ def nucleus_accept_residual(rng: jax.Array, logits: jax.Array,
     """
     b = logits.shape[0]
     rows = jnp.arange(b)
-    topv, topi, keep, lse_n, contained = _topk_nucleus(logits, top_p, k)
     d_safe = jnp.clip(draft, 0)
     l_d = logits.astype(jnp.float32)[rows, d_safe]
 
-    def fast(key):
-        # nucleus membership of the draft: it must match a KEPT prefix slot
-        is_member = ((topi == d_safe[:, None]) & keep).any(-1)
-        p_d = jnp.where(is_member & (draft >= 0),
-                        jnp.exp(l_d - lse_n[:, 0]), 0.0)
-        kl = jnp.where(keep, topv, -jnp.inf)
-        drop = (topi == d_safe[:, None]) & (draft >= 0)[:, None]
-        kl = jnp.where(drop, -jnp.inf, kl)
-        # a draft covering the whole nucleus leaves an empty residual; the
-        # caller never uses fresh at that position (the draft was accepted
-        # with probability 1), so fall back to the unmasked nucleus
-        empty = jnp.all(~jnp.isfinite(kl), axis=-1, keepdims=True)
-        kl = jnp.where(empty, jnp.where(keep, topv, -jnp.inf), kl)
-        j = jax.random.categorical(key, kl, axis=-1)
-        fresh = jnp.take_along_axis(topi, j[:, None], axis=-1)[:, 0]
-        return p_d, fresh
+    def make_fast(topv, topi, keep, lse_n):
+        def fast(key):
+            # nucleus membership of the draft: it must match a KEPT slot
+            is_member = ((topi == d_safe[:, None]) & keep).any(-1)
+            p_d = jnp.where(is_member & (draft >= 0),
+                            jnp.exp(l_d - lse_n[:, 0]), 0.0)
+            kl = jnp.where(keep, topv, -jnp.inf)
+            drop = (topi == d_safe[:, None]) & (draft >= 0)[:, None]
+            kl = jnp.where(drop, -jnp.inf, kl)
+            # a draft covering the whole nucleus leaves an empty residual;
+            # the caller never uses fresh at that position (the draft was
+            # accepted with probability 1), so use the unmasked nucleus
+            empty = jnp.all(~jnp.isfinite(kl), axis=-1, keepdims=True)
+            kl = jnp.where(empty, jnp.where(keep, topv, -jnp.inf), kl)
+            j = jax.random.categorical(key, kl, axis=-1)
+            fresh = jnp.take_along_axis(topi, j[:, None], axis=-1)[:, 0]
+            return p_d, fresh
+        return fast
 
     def slow(key):
         w = top_p_filter(logits.astype(jnp.float32), top_p)
@@ -254,5 +288,6 @@ def nucleus_accept_residual(rng: jax.Array, logits: jax.Array,
         fresh = jax.random.categorical(key, w_res, axis=-1)
         return p_d, fresh
 
-    p_d, fresh = jax.lax.cond(contained, fast, slow, rng)
+    p_d, fresh = _kspace_cascade(logits, top_p, make_fast, slow, rng,
+                                 k, k_escalate)
     return p_d, fresh.astype(jnp.int32)

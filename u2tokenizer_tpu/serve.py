@@ -486,6 +486,9 @@ def make_handler(server: U2Server):
                 mode = getattr(m, "spec_mode", None)
                 if payload["speculative"] and mode is not None:
                     payload["spec_mode"] = mode
+                    kb = getattr(m, "spec_block_len", None)
+                    if kb is not None:
+                        payload["spec_block_len"] = kb
                 tele = getattr(m, "telemetry", None)
                 if isinstance(tele, dict):  # slot engine live stats
                     payload["engine"] = tele
