@@ -73,6 +73,42 @@ def test_flash_gradients_match():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_pallas_bwd_gqa_lens(causal):
+    """The Pallas backward (interpret mode) must match the dense XLA vjp
+    on the training shape class: GQA heads, unequal right-padded lengths,
+    unaligned Sq (exercises q/kv padding in all three bwd kernels)."""
+    b, sq, h, hkv, d = 2, 130, 4, 2, 32
+    q = _rand((b, sq, h, d), 3)
+    k = _rand((b, sq, hkv, d), 4)
+    v = _rand((b, sq, hkv, d), 5)
+    lens = jnp.array([130, 77], jnp.int32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, lens, causal=causal, block_q=128,
+                              interpret=True)
+        # weight rows so padded-row don't-cares drop out of the loss
+        w = (jnp.arange(sq)[None, :] < lens[:, None]).astype(jnp.float32)
+        return jnp.sum((out * w[:, :, None, None]) ** 2)
+
+    def loss_ref(q, k, v):
+        from u2tokenizer_tpu.ops.attention import gqa_sdpa
+
+        key_ok = jnp.arange(sq)[None, :] < lens[:, None]
+        mask = key_ok[:, None, None, :]
+        if causal:
+            mask = mask & jnp.tril(jnp.ones((sq, sq), bool))[None, None]
+        out = gqa_sdpa(q, k, v, mask=mask)
+        w = (jnp.arange(sq)[None, :] < lens[:, None]).astype(jnp.float32)
+        return jnp.sum((out * w[:, :, None, None]) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 @pytest.mark.parametrize("qdt", ["int8", "int4"])
 def test_decode_attention_quantized_matches_reference(qdt):
     """Fused quantized decode kernel (interpret mode) vs the XLA

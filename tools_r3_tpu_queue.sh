@@ -56,6 +56,11 @@ BENCH_MODEL=8b BENCH_BATCH=48 BENCH_WQ=int4 BENCH_KV=int4 BENCH_VMB=32 \
   BENCH_PLAIN_TOO=0 timeout 4000 python bench.py || \
   echo "8B B48 attempt failed (expected if activations still peak)"
 
+echo "=== pallas flash-backward A/B (1.7B SFT step, dense vs pallas bwd)"
+TRAIN_STEPS=4 timeout 4000 python tools_train_17b.py
+U2_FLASH_BWD=1 TRAIN_STEPS=4 timeout 4000 python tools_train_17b.py || \
+  echo "pallas flash bwd failed to compile — keep the gate off"
+
 echo "=== int4 fused decode kernel A/B (Mosaic int4 validation + speed)"
 BENCH_KV=int4 BENCH_PLAIN_TOO=0 timeout 3000 python bench.py
 U2_INT4_DECODE_KERNEL=1 BENCH_KV=int4 BENCH_PLAIN_TOO=0 \

@@ -17,8 +17,12 @@ prefetch, plus an optional causal constraint. GQA is expressed in the
 BlockSpec index map (q head h reads kv head h // group) — no KV repeat is
 materialized.
 
-Backward: custom VJP that recomputes attention in XLA (standard
-flash-attention recompute strategy); forward-pass memory stays O(S·D).
+Backward: custom VJP with a Pallas flash backward (LSE recompute pass +
+dq kernel + dk/dv kernel, all O(S·D) memory) — gated opt-in on TPU via
+``U2_FLASH_BWD=1`` until Mosaic-validated on hardware; the default TPU
+backward and the CPU path recompute attention densely in XLA (standard
+flash-attention recompute strategy). Forward-pass memory stays O(S·D)
+either way.
 
 Measured on TPU v5e (bf16, in-jit loop timing): decoder prefill
 (4, 2048, 16h/8kv, 128) causal: 2.82 ms vs 4.12 ms XLA SDPA (1.46x);
@@ -156,6 +160,213 @@ def _flash_raw(q, k, v, lens, causal: bool, scale: float, bq: int,
     return out[:, :, :sq]
 
 
+def _lse_kernel(lens_ref, q_ref, k_ref, l_ref, *, bq: int, bk: int,
+                causal: bool, scale: float):
+    """Row logsumexp of the masked scaled scores for one q block — the
+    softmax statistic the backward kernels need to recompute p without
+    carrying it from the forward (which stays untouched/proven)."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # (bq, D)
+    sk_pad = k_ref.shape[2]
+    valid_len = lens_ref[b]
+    n_chunks = ((qi * bq + bq + bk - 1) // bk) if causal else (sk_pad // bk)
+
+    def body(ki, carry):
+        m, l = carry
+        kk = k_ref[0, 0, pl.ds(ki * bk, bk), :]
+        s = jax.lax.dot_general(
+            q, kk.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        kv_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        valid = kv_idx < valid_len
+        if causal:
+            q_idx = qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0)
+            valid = valid & (kv_idx <= q_idx)
+        s = jnp.where(valid, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        l_new = l * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(s - m_new), axis=-1, keepdims=True)
+        return m_new, l_new
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, n_chunks, body, (m0, l0))
+    l_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref,
+               dq_ref, *, bq: int, bk: int, causal: bool, scale: float):
+    """dq for one q block: walk KV in chunks (stopping at the causal
+    frontier), recompute p from the saved logsumexp, accumulate
+    ds·K·scale. All intermediates are (bq, bk) — O(S·D) HBM."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)                  # (bq, D)
+    do = do_ref[0, 0].astype(jnp.float32)                # (bq, D)
+    lse = l_ref[0, 0][:, None]                           # (bq, 1)
+    dd = dd_ref[0, 0][:, None]                           # (bq, 1)
+    sk_pad = k_ref.shape[2]
+    valid_len = lens_ref[b]
+    n_chunks = ((qi * bq + bq + bk - 1) // bk) if causal else (sk_pad // bk)
+
+    def body(ki, acc):
+        kk = k_ref[0, 0, pl.ds(ki * bk, bk), :].astype(jnp.float32)
+        vv = v_ref[0, 0, pl.ds(ki * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (bq, bk)
+        kv_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        valid = kv_idx < valid_len
+        if causal:
+            q_idx = qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0)
+            valid = valid & (kv_idx <= q_idx)
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.exp(s - lse)                             # masked -> 0
+        dp = jax.lax.dot_general(
+            do, vv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (bq, bk)
+        ds = p * (dp - dd)
+        return acc + jnp.dot(ds, kk,
+                             preferred_element_type=jnp.float32) * scale
+
+    acc = jax.lax.fori_loop(0, n_chunks, body,
+                            jnp.zeros(q.shape, jnp.float32))
+    dq_ref[0, 0] = acc.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref,
+                dk_ref, dv_ref, *, bq: int, bk2: int, causal: bool,
+                scale: float, group: int):
+    """dk/dv for one kv block: for each q head of the GQA group, walk q
+    blocks from the causal frontier, recompute p and accumulate
+    dv += pᵀ·do and dk += dsᵀ·q·scale."""
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    kk = k_ref[0, 0].astype(jnp.float32)                 # (bk2, D)
+    vv = v_ref[0, 0].astype(jnp.float32)
+    sq_pad = q_ref.shape[2]
+    valid_len = lens_ref[b]
+    nq = sq_pad // bq
+    start = (ki * bk2) // bq if causal else 0
+    dk = jnp.zeros(kk.shape, jnp.float32)
+    dv = jnp.zeros(vv.shape, jnp.float32)
+    for g in range(group):  # static unroll over the GQA group
+        def body(qj, carry):
+            dk, dv = carry
+            qb = q_ref[0, g, pl.ds(qj * bq, bq), :].astype(jnp.float32)
+            dob = do_ref[0, g, pl.ds(qj * bq, bq), :].astype(jnp.float32)
+            lse = l_ref[0, g, pl.ds(qj * bq, bq)][:, None]
+            dd = dd_ref[0, g, pl.ds(qj * bq, bq)][:, None]
+            s = jax.lax.dot_general(
+                qb, kk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (bq, bk2)
+            kv_idx = ki * bk2 + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk2), 1)
+            valid = kv_idx < valid_len
+            if causal:
+                q_idx = qj * bq + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, bk2), 0)
+                valid = valid & (kv_idx <= q_idx)
+            s = jnp.where(valid, s, NEG_INF)
+            p = jnp.exp(s - lse)                         # (bq, bk2)
+            dv = dv + jax.lax.dot_general(
+                p, dob, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bk2, D)
+            dp = jax.lax.dot_general(
+                dob, vv, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bq, bk2)
+            ds = p * (dp - dd)
+            dk = dk + jax.lax.dot_general(
+                ds, qb, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            return dk, dv
+
+        dk, dv = jax.lax.fori_loop(start, nq, body, (dk, dv))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_raw(q, k, v, lens, out, do, causal: bool, scale: float,
+                   bq: int, interpret: bool):
+    """Pallas flash backward: (dq, dk, dv), all O(S·D) HBM traffic."""
+    b, h, sq, d = q.shape
+    hkv, sk = k.shape[1], k.shape[2]
+    group = h // hkv
+    bk = 512        # kv chunk inside the lse/dq loops
+    bk2 = 256       # kv block of the dk/dv grid
+    sq_pad = (sq + bq - 1) // bq * bq
+    sk_pad = (sk + bk - 1) // bk * bk   # bk2 divides bk
+    pad_q = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+    pad_k = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+    qp, dop, outp = pad_q(q), pad_q(do), pad_q(out)
+    kp, vp = pad_k(k), pad_k(v)
+    # D_i = sum_d dO_i · O_i (padded rows are zero, so they contribute 0
+    # to every kernel below even where recomputed p is nonzero)
+    dd = jnp.sum(dop.astype(jnp.float32) * outp.astype(jnp.float32),
+                 axis=-1)                                 # (B, H, Sq_pad)
+    lens = lens.astype(jnp.int32)
+
+    qspec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0))
+    kspec = pl.BlockSpec((1, 1, sk_pad, d),
+                         lambda bi, hi, qi, lens: (bi, hi // group, 0, 0))
+    rowspec = pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, lens: (bi, hi, qi))
+
+    lse = pl.pallas_call(
+        functools.partial(_lse_kernel, bq=bq, bk=bk, causal=causal,
+                          scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b, h, sq_pad // bq),
+            in_specs=[qspec, kspec], out_specs=rowspec),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad), jnp.float32),
+        interpret=interpret,
+    )(lens, qp, kp)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, bq=bq, bk=bk, causal=causal,
+                          scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b, h, sq_pad // bq),
+            in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+            out_specs=qspec),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
+        interpret=interpret,
+    )(lens, qp, kp, vp, dop, lse, dd)
+
+    gqspec = pl.BlockSpec((1, group, sq_pad, d),
+                          lambda bi, hi, ki, lens: (bi, hi, 0, 0))
+    growspec = pl.BlockSpec((1, group, sq_pad),
+                            lambda bi, hi, ki, lens: (bi, hi, 0))
+    kvblock = pl.BlockSpec((1, 1, bk2, d),
+                           lambda bi, hi, ki, lens: (bi, hi, ki, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, bq=bq, bk2=bk2, causal=causal,
+                          scale=scale, group=group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b, hkv, sk_pad // bk2),
+            in_specs=[gqspec, kvblock, kvblock, gqspec, growspec, growspec],
+            out_specs=[kvblock, kvblock]),
+        out_shape=[jax.ShapeDtypeStruct((b, hkv, sk_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, hkv, sk_pad, d), v.dtype)],
+        interpret=interpret,
+    )(lens, qp, kp, vp, dop, lse, dd)
+    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
+
+
+def _flash_bwd_enabled() -> bool:
+    """Opt-in gate for the Pallas flash backward on TPU
+    (U2_FLASH_BWD=1); off until Mosaic-validated on hardware — the dense
+    XLA recompute stays the default TPU backward."""
+    import os
+
+    return os.environ.get("U2_FLASH_BWD", "0") == "1"
+
+
 def _reference(q, k, v, lens, causal: bool, scale: float):
     """XLA reference (used for the VJP recompute and CPU fallback)."""
     b, h, sq, d = q.shape
@@ -189,11 +400,20 @@ def _flash(q, k, v, lens, causal, scale, bq, interpret):
 
 
 def _flash_fwd(q, k, v, lens, causal, scale, bq, interpret):
-    return _flash(q, k, v, lens, causal, scale, bq, interpret), (q, k, v, lens)
+    out = _flash(q, k, v, lens, causal, scale, bq, interpret)
+    return out, (q, k, v, lens, out)
 
 
 def _flash_bwd(causal, scale, bq, interpret, res, g):
-    q, k, v, lens = res
+    q, k, v, lens, out = res
+    # pallas backward: interpret mode always (tests exercise the kernels);
+    # on TPU behind the U2_FLASH_BWD opt-in, else the dense XLA recompute
+    use_pallas = interpret is True or (
+        jax.default_backend() == "tpu" and _flash_bwd_enabled())
+    if use_pallas:
+        dq, dk, dv = _flash_bwd_raw(q, k, v, lens, out, g, causal, scale,
+                                    bq, interpret is True)
+        return dq, dk, dv, None
     _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, lens, causal, scale),
                      q, k, v)
     dq, dk, dv = vjp(g)
