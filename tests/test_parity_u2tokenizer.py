@@ -198,6 +198,98 @@ def test_attention_capture():
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
 
+@pytest.mark.parametrize("selection", ["hard", "diffts"])
+def test_u2tokenizer_gradient_parity(selection):
+    """Training-path parity: d(loss)/d(inputs) through the FULL μ²tokenizer
+    must match torch autograd on identical weights (loss = sum(out * W) for
+    a fixed random probe W). Forward parity alone would not catch a
+    detach/stop-gradient discrepancy — SFT trains through this module
+    (reference: src/train/train_stage1.py freezes the vision tower but
+    trains the μ²tokenizer, so its backward is load-bearing)."""
+    from src.model.u2tokenizer.u2Tokenizer import u2Tokenizer as TorchU2
+
+    tm = TorchU2(
+        embed_size=D_MODEL, num_heads=HEADS, num_layers=2, top_k=32,
+        use_multi_scale=True, num_3d_query_token=8, hidden_size=D_MODEL,
+        attn_type="rma", enable_diffts=(selection == "diffts"))
+    randomize_torch_module(tm, 30, std=0.02)
+    v = (rand((2, 4, 16, D_MODEL), 31) * 0.5).requires_grad_(True)
+    t = (rand((2, 13, D_MODEL), 32) * 0.5).requires_grad_(True)
+    w = rand((2, 8, D_MODEL), 33)
+    (tm(v, t) * w).sum().backward()
+    ref_dv, ref_dt = t2n(v.grad), t2n(t.grad)
+
+    cfg = U2TokenizerConfig(num_heads=HEADS, num_layers=2, top_k=32,
+                            use_multi_scale=True, num_query_tokens=8,
+                            attn_type="rma", max_seq_len=512,
+                            enable_diffts=(selection == "diffts"))
+    fm = U2Tokenizer(D_MODEL, cfg)
+    params = {"params": u2tokenizer_params(tm)}
+    wj = jnp.asarray(t2n(w))
+
+    def loss(vj, tj):
+        return (fm.apply(params, vj, tj) * wj).sum()
+
+    dv, dt = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(t2n(v.detach())), jnp.asarray(t2n(t.detach())))
+    scale_v = max(1.0, float(np.abs(ref_dv).max()))
+    scale_t = max(1.0, float(np.abs(ref_dt).max()))
+    np.testing.assert_allclose(np.asarray(dv), ref_dv, rtol=0,
+                               atol=2e-4 * scale_v)
+    np.testing.assert_allclose(np.asarray(dt), ref_dt, rtol=0,
+                               atol=2e-4 * scale_t)
+
+
+def test_u2tokenizer_param_gradient_parity():
+    """Parameter gradients (what the optimizer actually consumes) match
+    torch autograd: after backward, each torch param's .grad is pushed
+    through the SAME torch->flax converter used for weights — every
+    converter op (transpose/split/stack) is linear and index-preserving,
+    so it maps gradients exactly."""
+    from src.model.u2tokenizer.u2Tokenizer import u2Tokenizer as TorchU2
+
+    tm = TorchU2(
+        embed_size=D_MODEL, num_heads=HEADS, num_layers=2, top_k=32,
+        use_multi_scale=True, num_3d_query_token=8, hidden_size=D_MODEL,
+        attn_type="rma")
+    randomize_torch_module(tm, 34, std=0.02)
+    v = rand((2, 4, 16, D_MODEL), 35) * 0.5
+    t = rand((2, 13, D_MODEL), 36) * 0.5
+    w = rand((2, 8, D_MODEL), 37)
+    params = {"params": u2tokenizer_params(tm)}
+    (tm(v, t) * w).sum().backward()
+    # push grads through the converter via a DEEP COPY: the converter's
+    # numpy leaves share memory with the source tensors (and jax CPU may
+    # zero-copy them), so mutating tm in place would corrupt `params`
+    import copy
+
+    gm = copy.deepcopy(tm)
+    with torch.no_grad():
+        for p, src in zip(gm.parameters(), tm.parameters()):
+            p.copy_(src.grad if src.grad is not None
+                    else torch.zeros_like(src))
+    ref_grads = u2tokenizer_params(gm)
+
+    cfg = U2TokenizerConfig(num_heads=HEADS, num_layers=2, top_k=32,
+                            use_multi_scale=True, num_query_tokens=8,
+                            attn_type="rma", max_seq_len=512)
+    fm = U2Tokenizer(D_MODEL, cfg)
+    wj = jnp.asarray(t2n(w))
+    vj, tj = jnp.asarray(t2n(v)), jnp.asarray(t2n(t))
+
+    grads = jax.grad(
+        lambda p: (fm.apply(p, vj, tj) * wj).sum())(params)["params"]
+    flat_g = jax.tree_util.tree_leaves_with_path(grads)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(ref_grads))
+    assert flat_g and len(flat_g) == len(flat_r)
+    for path, g in flat_g:
+        r = np.asarray(flat_r[path])
+        scale = max(1.0, float(np.abs(r).max()))
+        np.testing.assert_allclose(
+            np.asarray(g), r, rtol=0, atol=3e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_svr_parity_strict_atol():
     """Fixed-seed, small-std case with STRICT absolute tolerance (no
     magnitude scaling): hardens the parity claim against the norm-free SVR
