@@ -79,6 +79,64 @@ def test_decoder_logits_parity(family):
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("family", ["qwen3", "llama"])
+def test_decoder_gradient_parity(family):
+    """Training-path parity vs HF autograd: d(loss)/d(inputs_embeds) and
+    every parameter gradient (pushed through the same HF->flax converter,
+    whose ops are all linear and index-preserving) must match. SFT/DPO and
+    (Q)LoRA train through this stack, so the backward is load-bearing."""
+    import jax
+
+    torch.manual_seed(0)
+    hf_model, hf_cfg = _hf_tiny(family)
+    hf_model.eval()
+    cfg = llm_config_from_hf(hf_cfg)
+    sd = {k: v.detach().numpy().copy()
+          for k, v in hf_model.state_dict().items()}
+    params = {"params": convert_decoder(sd, cfg)}
+    model = CausalLM(cfg, dtype=jnp.float32)
+
+    g = torch.Generator().manual_seed(2)
+    b, s = 2, 12
+    emb_t = torch.randn(b, s, hf_cfg.hidden_size, generator=g) * 0.1
+    emb_t.requires_grad_(True)
+    w = torch.randn(b, s, hf_cfg.vocab_size, generator=g)
+    (hf_model(inputs_embeds=emb_t).logits * w).sum().backward()
+    ref_demb = emb_t.grad.numpy()
+    grad_sd = {k: (p.grad if p.grad is not None
+                   else torch.zeros_like(p)).numpy().copy()
+               for k, p in hf_model.named_parameters()}
+    # state_dict keys not in named_parameters (tied weights alias): map
+    # them to the named parameter they alias
+    for k in sd:
+        if k not in grad_sd:
+            base = k.replace("lm_head.weight", "model.embed_tokens.weight")
+            grad_sd[k] = grad_sd[base]
+    ref_grads = convert_decoder(grad_sd, cfg)
+
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    wj = jnp.asarray(w.numpy())
+
+    def loss(p, emb):
+        logits, _, _ = model.apply(p, emb, positions, mask)
+        return (logits * wj).sum()
+
+    gp, demb = jax.grad(loss, argnums=(0, 1))(
+        params, jnp.asarray(emb_t.detach().numpy()))
+    np.testing.assert_allclose(np.asarray(demb), ref_demb,
+                               rtol=2e-4, atol=2e-4)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(ref_grads))
+    flat_g = jax.tree_util.tree_leaves_with_path(gp["params"])
+    assert flat_g and len(flat_g) == len(flat_r)
+    for path, gr in flat_g:
+        r = np.asarray(flat_r[path])
+        scale = max(1.0, float(np.abs(r).max()))
+        np.testing.assert_allclose(
+            np.asarray(gr), r, rtol=0, atol=2e-4 * scale,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_decoder_cache_consistency():
     """Cached decode must equal the uncached forward at every position."""
     import jax
