@@ -125,6 +125,30 @@ def test_sharded_generate_tensor_parallel():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_sampled_nucleus_cascade_sharded():
+    """Top-p sampling at large vocab under SPMD: the escalating k-space
+    cascade's nested lax.cond predicates (all-rows containment) are
+    computed from batch-sharded logits — XLA must replicate them and the
+    draws must stay inside the exact nucleus on every shard."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from u2tokenizer_tpu.ops.sampling import sample, top_p_filter
+
+    mesh = make_mesh(MeshConfig(data=8))
+    v, b = 8192, 16
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 0.05, (b, v)).astype(np.float32)
+    logits[:, :8] += 12.0          # peaked rows
+    logits[-1, :600] += 12.0       # one row spilling past k=128
+    lj = jax.device_put(jnp.asarray(logits),
+                        NamedSharding(mesh, P("data", None)))
+    out = np.asarray(jax.jit(
+        lambda l, k: sample(k, l, do_sample=True, top_p=0.9))(
+        lj, jax.random.PRNGKey(3)))
+    finite = np.isfinite(np.asarray(top_p_filter(jnp.asarray(logits), 0.9)))
+    assert all(finite[i, t] for i, t in enumerate(out))
+
+
 @pytest.mark.parametrize("n", [4, 8])
 def test_dryrun_multichip_sizes(n):
     import sys

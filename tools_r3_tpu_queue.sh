@@ -63,8 +63,8 @@ U2_FLASH_BWD=1 TRAIN_STEPS=4 timeout 4000 python tools_train_17b.py || \
 
 echo "=== int4 fused decode kernel A/B (Mosaic int4 validation + speed)"
 BENCH_KV=int4 BENCH_PLAIN_TOO=0 timeout 3000 python bench.py
-U2_INT4_DECODE_KERNEL=1 BENCH_KV=int4 BENCH_PLAIN_TOO=0 \
-  timeout 3000 python bench.py || \
+U2_DECODE_KERNEL=1 U2_INT4_DECODE_KERNEL=1 BENCH_KV=int4 \
+  BENCH_PLAIN_TOO=0 timeout 3000 python bench.py || \
   echo "int4 pallas kernel failed to compile (Mosaic int4 unsupported?) — keep the gate off"
 
 echo "=== headline bench sanity"
