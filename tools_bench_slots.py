@@ -41,24 +41,34 @@ reqs = [np.asarray(jax.random.randint(jax.random.PRNGKey(i), (1, PROMPT),
                                       1, cfg.vocab_size), np.int32)
         for i in range(NREQ)]
 
-# rows: plain engine, spec at each ladder rung (block_len pins the rung:
-# per-dispatch cost c(k) calibrates the adaptive ladder's thresholds),
-# and the adaptive engine itself
-ROWS = [("plain", False, 8), ("spec-kb2", True, 2), ("spec-kb4", True, 4),
-        ("spec-kb8", True, 8), ("adaptive", "auto", 8)]
+# rows: plain engine, spec pinned at each ladder rung (kb=1 is the bottom
+# rung the adaptive thresholds need; per-dispatch cost c(k) calibrates the
+# ladder), and the adaptive engine itself
+ROWS = [("plain", False, 8), ("spec-kb1", True, 1), ("spec-kb2", True, 2),
+        ("spec-kb4", True, 4), ("spec-kb8", True, 8),
+        ("adaptive", "auto", 8)]
 
 for label, spec, kb in ROWS:
-    eng = Engine(qmodel, params, gen, num_slots=SLOTS, prompt_buf=PROMPT,
-                 cache_dtype="int8", speculative=spec, block_len=kb)
-    # warm the jits (prefill + decode compile) with one request
-    r0 = eng.submit(reqs[0])
-    t0 = time.time()
-    eng.run()
-    print(f"{label}: warm-up request (compiles) {time.time()-t0:.0f}s",
-          flush=True)
-
     eng2 = Engine(qmodel, params, gen, num_slots=SLOTS, prompt_buf=PROMPT,
                   cache_dtype="int8", speculative=spec, block_len=kb)
+    # warm the jits with one request, then (adaptive) pre-compile EVERY
+    # ladder rung's decode so no compile lands inside the timed loop —
+    # jitted closures are per Engine instance
+    t0 = time.time()
+    eng2.submit(reqs[0])
+    eng2.run()
+    if spec == "auto":
+        for kbx in eng2._kb_ladder:
+            np.asarray(eng2._decode_for(kbx)(
+                params, eng2.state, jax.random.PRNGKey(0)))
+    print(f"{label}: warm-up (compiles) {time.time()-t0:.0f}s", flush=True)
+    # reset results/stats/policy so the timed run is clean
+    eng2._results.clear()
+    eng2.spec_stats = {"emitted_tokens": 0, "verify_steps": 0}
+    if spec == "auto":
+        eng2._rung = len(eng2._kb_ladder) - 1
+        eng2._accept_window.clear()
+        eng2._plain_dispatches = 0
     for r in reqs:
         eng2.submit(r)
     steps = 0

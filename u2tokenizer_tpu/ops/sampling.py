@@ -31,6 +31,16 @@ def _nucleus_threshold(sorted_desc: jax.Array, lse: jax.Array,
     return jnp.take_along_axis(sorted_desc, idx[..., None], axis=-1)
 
 
+def _dense_top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
+    """Full-sort nucleus filter — the cascade's final fallback, reached
+    only when the k-prefilter levels already failed containment (so it
+    must NOT rerun a prefilter the caller knows will fail)."""
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+    thr = _nucleus_threshold(sorted_desc, lse, top_p)
+    return jnp.where(logits >= thr, logits, -jnp.inf)
+
+
 def top_p_filter(logits: jax.Array, top_p: float,
                  k_prefilter: int = 128) -> jax.Array:
     """Mask logits outside the nucleus — EXACT top-p, with a bucketed fast
@@ -167,7 +177,8 @@ def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float,
 
     def slow(_):
         return jax.random.categorical(
-            rng, top_p_filter(logits, top_p), axis=-1)
+            rng, _dense_top_p_filter(logits.astype(jnp.float32), top_p),
+            axis=-1)
 
     return _kspace_cascade(logits, top_p, make_fast, slow, None,
                            k, k_escalate).astype(jnp.int32)
@@ -235,7 +246,7 @@ def nucleus_p_draft(logits: jax.Array, draft: jax.Array, top_p: float,
         return fast
 
     def slow(_):
-        w = top_p_filter(logits.astype(jnp.float32), top_p)
+        w = _dense_top_p_filter(logits.astype(jnp.float32), top_p)
         p = jax.nn.softmax(w, axis=-1)
         return jnp.where(draft >= 0, p[rows, d_safe], 0.0)
 
@@ -280,7 +291,7 @@ def nucleus_accept_residual(rng: jax.Array, logits: jax.Array,
         return fast
 
     def slow(key):
-        w = top_p_filter(logits.astype(jnp.float32), top_p)
+        w = _dense_top_p_filter(logits.astype(jnp.float32), top_p)
         p = jax.nn.softmax(w, axis=-1)
         p_d = jnp.where(draft >= 0, p[rows, d_safe], 0.0)
         masked = w.at[rows, d_safe].set(-jnp.inf)

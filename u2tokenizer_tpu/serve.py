@@ -448,6 +448,17 @@ def make_handler(server: U2Server):
         def log_message(self, fmt, *args):  # quiet
             pass
 
+        def _parse_n(self, req) -> Optional[int]:
+            """OpenAI ``n``, bounded: each distinct n jit-compiles a fan-out
+            decode kept in cache forever, so an unbounded n would OOM —
+            reply 400 and return None instead."""
+            n = max(int(req.get("n") or 1), 1)
+            if n > MAX_N_CHOICES:
+                self._send(400,
+                           {"error": f"n > {MAX_N_CHOICES} unsupported"})
+                return None
+            return n
+
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
@@ -550,12 +561,8 @@ def make_handler(server: U2Server):
                     self._send(200, {"report": text,
                                      "latency_s": round(time.time() - t0, 3)})
                 elif self.path == "/v1/chat/completions":
-                    n = max(int(req.get("n") or 1), 1)
-                    if n > MAX_N_CHOICES:
-                        # unbounded n would jit-compile an n-row decode and
-                        # cache it forever — refuse instead of OOMing
-                        self._send(400, {"error":
-                                         f"n > {MAX_N_CHOICES} unsupported"})
+                    n = self._parse_n(req)
+                    if n is None:
                         return
                     if stream:
                         if n > 1:
@@ -578,12 +585,8 @@ def make_handler(server: U2Server):
                     })
                 elif self.path == "/v1/completions":
                     msgs = [{"role": "user", "content": req.get("prompt", "")}]
-                    n = max(int(req.get("n") or 1), 1)
-                    if n > MAX_N_CHOICES:
-                        # unbounded n would jit-compile an n-row decode and
-                        # cache it forever — refuse instead of OOMing
-                        self._send(400, {"error":
-                                         f"n > {MAX_N_CHOICES} unsupported"})
+                    n = self._parse_n(req)
+                    if n is None:
                         return
                     if stream:
                         if n > 1:
