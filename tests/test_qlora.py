@@ -84,10 +84,10 @@ def test_qlora_identity_at_init(float_lm, mode):
     assert not any("embed_tokens" in k and "lora" in k for k in flat)
 
 
-def _tiny_u2_batch(cfg):
+def _tiny_u2_batch(cfg, b=2):
     rng = jax.random.PRNGKey(3)
     d, h, w = cfg.vision.input_spatial
-    b, s = 2, 24
+    s = 24
     images = jax.random.normal(rng, (b, cfg.num_chunks, d, h, w))
     input_ids = jax.random.randint(jax.random.PRNGKey(4), (b, s), 0,
                                    cfg.llm.vocab_size).astype(jnp.int32)
@@ -142,6 +142,58 @@ def test_qlora_train_step_u2():
     moved = [k for k, v in train_flat.items()
              if k.endswith("/lora_b") and float(jnp.abs(v).max()) > 0]
     assert moved
+
+
+def test_qlora_train_step_sharded_matches_single():
+    """Multi-chip QLoRA: the same train step with every tree (adapters,
+    frozen quantized base, optimizer state) placed via the mesh sharding
+    rules and the batch data-sharded produces the single-device loss
+    trajectory — sharding quantized int8 leaves and grouped-kernel layouts
+    must be transparent (rules fall back to replication where a dim does
+    not divide the mesh axis)."""
+    from u2tokenizer_tpu.config import MeshConfig
+    from u2tokenizer_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                               tree_shardings)
+
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    batch = _tiny_u2_batch(cfg, b=4)  # divisible by the data*fsdp axes
+    fparams = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                         batch["images"], batch["question_ids"])
+    qparams = quantize_llm_weights(fparams, "int8")
+    qcfg = qlora_config(cfg, rank=4, mode="int8")
+    qmodel = U2CausalLM(qcfg, dtype=jnp.float32)
+    lparams = init_qlora_from_quantized(
+        qmodel, jax.random.PRNGKey(7), qparams, batch["input_ids"],
+        batch["images"], batch["question_ids"])
+    train_flat, frozen_flat = qlora_partition(lparams)
+
+    def loss_fn(params, b):
+        logits, _, _ = qmodel.apply(
+            params, b["input_ids"], b["images"], b["question_ids"],
+            attention_mask=b["attention_mask"])
+        return cross_entropy_loss(logits, b["labels"])
+
+    tx = optax.adamw(1e-2)
+    step = jax.jit(make_qlora_train_step(tx, loss_fn))
+
+    def run(tf, ff, bt, n=3):
+        opt = jax.tree_util.tree_map(jnp.asarray, tx.init(tf))
+        losses = []
+        for _ in range(n):
+            tf, opt, loss, _, _ = step(tf, opt, ff, bt)
+            losses.append(float(loss))
+        return losses
+
+    ref = run(train_flat, frozen_flat, batch)
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    tf_s = jax.device_put(train_flat, tree_shardings(mesh, train_flat))
+    ff_s = jax.device_put(frozen_flat, tree_shardings(mesh, frozen_flat))
+    batch_s = {k: jax.device_put(v, data_sharding(mesh, v.ndim))
+               for k, v in batch.items()}
+    out = run(tf_s, ff_s, batch_s)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
 def test_merge_qlora_matches_adapted_forward(float_lm):
