@@ -71,6 +71,26 @@ def test_sharded_train_step(mesh_cfg):
         assert "tensor" in str(spec), spec
 
 
+def test_sharded_train_step_chunked_ce():
+    """ce_chunk through the sharded trainer: the scan-over-vocab-chunks
+    loss compiles and trains under SPMD (logits chunks are computed from
+    tensor-sharded lm_head without materializing (B, S, V))."""
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_ratio=0.0)
+    tx = make_optimizer(tcfg, total_steps=10)
+    batch = _sample_batch(cfg)
+    state, train_step, batch_shardings = make_sharded_trainer(
+        model, tx, mesh, jax.random.PRNGKey(0), batch, ce_chunk=8)
+    batch = jax.device_put(batch, batch_shardings)
+    losses = []
+    for _ in range(3):
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
 def test_frozen_vision_tower():
     cfg = U2ModelConfig.tiny()
     model = U2CausalLM(cfg, dtype=jnp.float32)

@@ -232,3 +232,43 @@ def test_remat_policies_train_and_match(policy):
     for a, c in zip(flat_r, flat_p):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("chunk", [5, 8, 16])
+def test_chunked_ce_matches_plain(chunk):
+    """ce_chunk>0 gives the same loss, token accuracy, AND gradients as
+    the full-logits loss (up to summation order) — incl. a chunk that
+    does not divide S-1 (padding path) and one that exceeds it."""
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    b, s = 2, 16
+    images = jax.random.normal(rng, (b, cfg.num_chunks,
+                                     *cfg.vision.input_spatial))
+    labels = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0,
+                                cfg.llm.vocab_size)
+    batch = {
+        "input_ids": jnp.zeros((b, s), jnp.int32),
+        "images": images,
+        "question_ids": jnp.ones((b, 4), jnp.int32),
+        "attention_mask": jnp.ones((b, s), jnp.int32),
+        "labels": labels.at[:, :4].set(IGNORE_INDEX),
+    }
+    params = model.init(rng, batch["input_ids"], images,
+                        batch["question_ids"])
+
+    def run(ce_chunk):
+        fn = make_loss_fn(model, ce_chunk)
+        (loss, aux), grads = jax.value_and_grad(fn, has_aux=True)(
+            params, batch)
+        return loss, aux, grads
+
+    l0, a0, g0 = run(0)
+    lc, ac, gc = run(chunk)
+    np.testing.assert_allclose(float(lc), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(float(ac["token_accuracy"]),
+                               float(a0["token_accuracy"]), rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(gc)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)

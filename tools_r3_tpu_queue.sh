@@ -61,6 +61,12 @@ TRAIN_STEPS=4 timeout 4000 python tools_train_17b.py
 U2_FLASH_BWD=1 TRAIN_STEPS=4 timeout 4000 python tools_train_17b.py || \
   echo "pallas flash bwd failed to compile — keep the gate off"
 
+echo "=== chunked-CE A/B (1.7B SFT step; then push batch with freed memory)"
+TRAIN_CE_CHUNK=256 TRAIN_STEPS=4 timeout 4000 python tools_train_17b.py
+TRAIN_CE_CHUNK=256 U2_FLASH_BWD=1 TRAIN_B=2 TRAIN_STEPS=4 \
+  timeout 4000 python tools_train_17b.py || \
+  echo "B=2 with chunked CE + flash bwd does not fit"
+
 echo "=== int4 fused decode kernel A/B (Mosaic int4 validation + speed)"
 BENCH_KV=int4 BENCH_PLAIN_TOO=0 timeout 3000 python bench.py
 U2_DECODE_KERNEL=1 U2_INT4_DECODE_KERNEL=1 BENCH_KV=int4 \

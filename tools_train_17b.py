@@ -139,11 +139,26 @@ def main():
          "train": optax.adafactor(schedule, min_dim_size_to_factor=128)},
         {"lora": "lora", "train": "train"})
 
+    ce_chunk = int(__import__("os").environ.get("TRAIN_CE_CHUNK", "0"))
+
     def loss_fn(wparams, frozen_flat, batch):
         merged = dict(frozen_flat)
         merged.update(wparams["train"])
         base = unflatten_dict(merged, sep="/")
         eff = apply_lora(base, wparams["lora"], lcfg)
+        if ce_chunk:  # chunked loss: never materialize (B, S, 152k) logits
+            from u2tokenizer_tpu.train.sft import (
+                chunked_cross_entropy_from_hidden)
+
+            embeds = model.apply(eff, batch["input_ids"], batch["images"],
+                                 batch["question_ids"],
+                                 method="prepare_inputs_embeds")
+            _, hidden, _ = model.apply(
+                eff, embeds, batch["attention_mask"], compute_logits=False,
+                method="forward_embeds")
+            return chunked_cross_entropy_from_hidden(
+                lambda h: model.apply(eff, h, method="lm_logits"),
+                hidden, batch["labels"], ce_chunk)
         logits, _, _ = model.apply(
             eff, batch["input_ids"], batch["images"], batch["question_ids"],
             attention_mask=batch["attention_mask"])

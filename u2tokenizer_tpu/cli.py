@@ -118,6 +118,7 @@ def cmd_train(args):
         max_steps=args.max_steps,
         remat=(False if args.remat == "off" else
                True if args.remat == "nothing" else args.remat),
+        ce_chunk=args.ce_chunk,
         mesh=MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
                         tensor=args.mesh_tensor))
 
@@ -153,7 +154,8 @@ def cmd_train(args):
     if args.freeze_vision_tower:
         trainable = lambda p: "vision_tower" not in p
     state, train_step, batch_shardings = make_sharded_trainer(
-        model, tx, mesh, jax.random.PRNGKey(tcfg.seed), sample, trainable)
+        model, tx, mesh, jax.random.PRNGKey(tcfg.seed), sample, trainable,
+        ce_chunk=tcfg.ce_chunk)
 
     if args.pretrained:
         state = _load_pretrained_into_state(args.pretrained, cfg, state)
@@ -1112,6 +1114,11 @@ def build_parser():
                         "everything (min memory); 'dots_no_batch'/'dots' "
                         "keep matmul outputs (faster backward, more "
                         "activation memory); 'off' disables remat")
+    t.add_argument("--ce-chunk", dest="ce_chunk", type=int, default=0,
+                   help="> 0: compute the LM loss in sequence chunks of "
+                        "this size, never materializing the (B, S, vocab) "
+                        "logits (the dominant training activation at "
+                        "V~152k); same numbers as the plain loss")
     t.add_argument("--pretrained", default=None)
     t.add_argument("--qlora", default="off", choices=["off", "int8", "int4"],
                    help="quantized-base LoRA: freeze the decoder as "

@@ -353,6 +353,10 @@ class TrainConfig:
     # minimum memory); the strings "dots_no_batch" / "dots" keep matmul
     # outputs (less backward recompute, more activation memory)
     remat: Union[bool, str] = True
+    # > 0: compute the LM loss from hidden states in sequence chunks of
+    # this size (never materializing the (B, S, vocab) logits — the
+    # dominant training activation at V≈152k); 0 = plain full-logits loss
+    ce_chunk: int = 0
     freeze_vision_tower: bool = False
     freeze_backbone: bool = False
     save_steps: int = 2000

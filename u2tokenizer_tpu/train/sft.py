@@ -51,6 +51,55 @@ def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> Tuple[jax.Array,
     return loss, acc
 
 
+def chunked_cross_entropy_from_hidden(apply_logits, hidden: jax.Array,
+                                      labels: jax.Array,
+                                      chunk: int = 128):
+    """Shifted causal LM loss WITHOUT materializing the (B, S, V) logits.
+
+    At V≈152k the logits are the dominant training activation
+    (B=1, S=1024 -> 0.6 GB fp32 before log_softmax copies); walking the
+    sequence in ``chunk``-sized pieces under a rematerialized scan bounds
+    the peak at (B, chunk, V) in BOTH the forward and backward. Numerics
+    identical to cross_entropy_loss up to summation order (log_softmax is
+    per-position).
+
+    apply_logits(h_chunk (B, c, E)) -> fp32 logits (B, c, V); typically
+    ``lambda h: model.apply(params, h, method="lm_logits")``.
+    """
+    hidden = hidden[:, :-1]
+    targets = labels[:, 1:]
+    b, sm1 = targets.shape
+    pad = (-sm1) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)),
+                          constant_values=IGNORE_INDEX)
+    nch = (sm1 + pad) // chunk
+    hc = jnp.transpose(hidden.reshape(b, nch, chunk, hidden.shape[-1]),
+                       (1, 0, 2, 3))
+    tc = jnp.transpose(targets.reshape(b, nch, chunk), (1, 0, 2))
+
+    def body(carry, xs):
+        lsum, nvalid, ncorrect = carry
+        h, t = xs
+        logits = apply_logits(h).astype(jnp.float32)
+        valid = t != IGNORE_INDEX
+        safe = jnp.where(valid, t, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (lsum - jnp.sum(tok * valid),
+                nvalid + jnp.sum(valid),
+                ncorrect + jnp.sum((jnp.argmax(logits, -1) == t) & valid)
+                ), None
+
+    zero = jnp.zeros((), jnp.float32)
+    (lsum, nvalid, ncorrect), _ = jax.lax.scan(
+        jax.checkpoint(body), (zero, zero, zero), (hc, tc))
+    loss = lsum / jnp.maximum(nvalid, 1.0)
+    acc = ncorrect / jnp.maximum(nvalid, 1.0)
+    return loss, acc
+
+
 def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
     warmup = max(1, int(total_steps * cfg.warmup_ratio))
     if cfg.lr_schedule == "cosine":
@@ -69,8 +118,23 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
     return tx
 
 
-def make_loss_fn(model: U2CausalLM):
+def make_loss_fn(model: U2CausalLM, ce_chunk: int = 0):
+    """ce_chunk > 0 computes the loss from hidden states in sequence
+    chunks (chunked_cross_entropy_from_hidden) — same numbers, but the
+    full-vocab logits tensor is never materialized."""
+
     def loss_fn(params, batch: Dict[str, jax.Array]):
+        if ce_chunk:
+            embeds = model.apply(
+                params, batch["input_ids"], batch.get("images"),
+                batch.get("question_ids"), method="prepare_inputs_embeds")
+            _, hidden, _ = model.apply(
+                params, embeds, batch.get("attention_mask"),
+                compute_logits=False, method="forward_embeds")
+            loss, acc = chunked_cross_entropy_from_hidden(
+                lambda h: model.apply(params, h, method="lm_logits"),
+                hidden, batch["labels"], ce_chunk)
+            return loss, {"loss": loss, "token_accuracy": acc}
         logits, _, _ = model.apply(
             params,
             batch["input_ids"],
@@ -85,14 +149,14 @@ def make_loss_fn(model: U2CausalLM):
 
 
 def make_train_step(model: U2CausalLM, tx: optax.GradientTransformation,
-                    trainable_filter=None):
+                    trainable_filter=None, ce_chunk: int = 0):
     """Build train_step(state, batch) -> (state, metrics).
 
     trainable_filter: optional fn(path_str) -> bool; frozen params get zero
     updates (reference freeze_vision_tower / freeze_backbone flags,
     train_stage1.py:50,38).
     """
-    loss_fn = make_loss_fn(model)
+    loss_fn = make_loss_fn(model, ce_chunk)
 
     def train_step(state: TrainState, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -127,7 +191,8 @@ def init_train_state(model: U2CausalLM, tx, rng, sample_batch) -> TrainState:
 
 
 def make_sharded_trainer(model: U2CausalLM, tx, mesh: Mesh, rng,
-                         sample_batch, trainable_filter=None):
+                         sample_batch, trainable_filter=None,
+                         ce_chunk: int = 0):
     """Initialize the TrainState sharded over ``mesh`` and return
     (state, jitted_train_step, batch_shardings).
 
@@ -151,7 +216,7 @@ def make_sharded_trainer(model: U2CausalLM, tx, mesh: Mesh, rng,
 
     batch_shardings = {
         k: data_sharding(mesh, v.ndim) for k, v in sample_batch.items()}
-    train_step = make_train_step(model, tx, trainable_filter)
+    train_step = make_train_step(model, tx, trainable_filter, ce_chunk)
 
     def traced_step(state, batch):
         # activation constraints (models/u2_model.fuse_vision) bind to the
