@@ -126,6 +126,53 @@ def test_packed_equals_concatenated():
     np.testing.assert_allclose(float(nll_b), float(nll_a), rtol=2e-5)
 
 
+def test_chunked_completion_logps_matches_plain():
+    """ce_chunk > 0 reproduces the full-logits completion logps, WPO
+    weights, chosen NLL, AND the loss gradients (summation order only) —
+    including a chunk that does not divide S-1."""
+    from u2tokenizer_tpu.train.dpo import (_completion_logps,
+                                           make_dpo_loss_fn)
+
+    cfg = U2ModelConfig.tiny()
+    model = U2CausalLM(cfg, dtype=jnp.float32)
+    tok = MockTokenizer()
+    cat = {k: jnp.asarray(v) for k, v in
+           collate_preference_batch(_samples(cfg), tok, 8, 8).items()}
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, cat["input_ids"][:2], cat["images"],
+                        cat["question_ids"])
+
+    for average in (False, True):
+        a = np.asarray(_completion_logps(model, params, cat, average))
+        c = np.asarray(_completion_logps(model, params, cat, average,
+                                         ce_chunk=5))
+        np.testing.assert_allclose(c, a, rtol=2e-5, atol=2e-5)
+    _, w_a, nll_a = _completion_logps(model, params, cat, False, aux=True)
+    _, w_c, nll_c = _completion_logps(model, params, cat, False, aux=True,
+                                      ce_chunk=5)
+    np.testing.assert_allclose(np.asarray(w_c), np.asarray(w_a),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(nll_c), float(nll_a), rtol=2e-5)
+
+    # end-to-end loss gradient parity through make_dpo_loss_fn
+    for dcfg in (DPOConfig(beta=0.1, use_weighting=True, rpo_alpha=0.5),
+                 DPOConfig(beta=0.1)):
+        import dataclasses
+
+        plain = make_dpo_loss_fn(model, dcfg)
+        chunked = make_dpo_loss_fn(model,
+                                   dataclasses.replace(dcfg, ce_chunk=5))
+        (l_a, _), g_a = jax.value_and_grad(plain, has_aux=True)(
+            params, params, cat)
+        (l_c, _), g_c = jax.value_and_grad(chunked, has_aux=True)(
+            params, params, cat)
+        np.testing.assert_allclose(float(l_c), float(l_a), rtol=1e-6)
+        for x, y in zip(jax.tree_util.tree_leaves(g_a),
+                        jax.tree_util.tree_leaves(g_c)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=2e-5, atol=2e-6)
+
+
 def test_wpo_rpo_loss_variants():
     """WPO weights scale the pair loss; RPO adds alpha * chosen NLL; a
     packed train step learns the preference like the concatenated one."""

@@ -312,7 +312,8 @@ def cmd_dpo(args):
 
     cfg = _load_model_config(args)
     tokenizer = _load_tokenizer(args.tokenizer)
-    dcfg = DPOConfig(beta=args.beta, learning_rate=args.learning_rate)
+    dcfg = DPOConfig(beta=args.beta, learning_rate=args.learning_rate,
+                     ce_chunk=args.ce_chunk)
     tcfg = TrainConfig(learning_rate=args.learning_rate,
                        output_dir=args.output_dir)
 
@@ -1143,6 +1144,10 @@ def build_parser():
     d.add_argument("--output-dir", default="./output/u2-dpo")
     d.add_argument("--max-steps", type=int, default=None)
     d.add_argument("--pretrained", default=None)
+    d.add_argument("--ce-chunk", dest="ce_chunk", type=int, default=0,
+                   help="> 0: compute completion log-probs in sequence "
+                        "chunks, never materializing the (2B, S, vocab) "
+                        "logits (policy AND reference forward)")
     d.set_defaults(fn=cmd_dpo)
 
     g = sub.add_parser("generate")

@@ -387,6 +387,10 @@ class DPOConfig:
     # segment-masked attention and restarting positions, so the prompt and
     # the vision encode run once per sample instead of twice.
     packed: bool = False
+    # > 0: compute completion log-probs in sequence chunks of this size,
+    # never materializing the (2B, S, vocab) logits (the DPO step holds
+    # TWO such tensors — policy + reference); unpacked path only
+    ce_chunk: int = 0
 
 
 @dataclass(frozen=True)

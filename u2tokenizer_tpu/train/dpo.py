@@ -155,12 +155,18 @@ def collate_packed_preference_batch(
 # ---------------------------------------------------------------------------
 
 def _completion_logps(model: U2CausalLM, params, batch,
-                      average: bool, aux: bool = False):
+                      average: bool, aux: bool = False, ce_chunk: int = 0):
     """(2B,) summed (or mean) completion-token log-probs under ``params``.
 
     With ``aux=True`` also returns (wpo_weights, chosen_nll): the WPO
     sequence weights (dpo_u2trainer.py:320-329) and the chosen-completion
     mean NLL used by RPO (dpo_u2trainer.py:331-340).
+
+    ``ce_chunk > 0`` computes everything from hidden states in sequence
+    chunks under a rematerialized scan, never materializing the
+    (2B, S, V) logits — the DPO step otherwise holds TWO such tensors
+    (policy + reference forward), the dominant stage-2 activation at
+    V≈152k. Numerics identical up to summation order.
     """
     b2 = batch["input_ids"].shape[0]
     b = b2 // 2
@@ -169,15 +175,32 @@ def _completion_logps(model: U2CausalLM, params, batch,
         images = jnp.concatenate([images, images], axis=0)
     question_ids = jnp.concatenate(
         [batch["question_ids"], batch["question_ids"]], axis=0)
+    targets = batch["input_ids"][:, 1:]
+    mask = batch["completion_mask"][:, 1:]
+    if ce_chunk:
+        embeds = model.apply(params, batch["input_ids"], images,
+                             question_ids, method="prepare_inputs_embeds")
+        _, hidden, _ = model.apply(
+            params, embeds, batch["attention_mask"], compute_logits=False,
+            method="forward_embeds")
+        s_tok, s_adj = _chunked_completion_stats(
+            lambda h: model.apply(params, h, method="lm_logits"),
+            hidden[:, :-1], targets, mask, ce_chunk)
+        msum = jnp.sum(mask, axis=-1).astype(jnp.float32)
+        sums = s_tok / jnp.maximum(msum, 1.0) if average else s_tok
+        if not aux:
+            return sums
+        w = s_adj / jnp.maximum(msum, 1.0)
+        weights = jnp.minimum(jnp.exp(w[:b] + w[b:]), 1.0)
+        nll = -jnp.sum(s_tok[:b]) / jnp.maximum(jnp.sum(msum[:b]), 1.0)
+        return sums, weights, nll
     logits, _, _ = model.apply(
         params, batch["input_ids"], images, question_ids,
         attention_mask=batch["attention_mask"])
     # token t predicted by logits[t-1] (selective_log_softmax parity,
     # dpo_u2trainer.py:296)
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-    targets = batch["input_ids"][:, 1:]
     tok_logp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    mask = batch["completion_mask"][:, 1:]
     sums = jnp.sum(tok_logp * mask, axis=-1)
     if average:
         sums = sums / jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
@@ -185,6 +208,40 @@ def _completion_logps(model: U2CausalLM, params, batch,
         return sums
     return sums, _wpo_weights(logp, tok_logp, mask, b), _chosen_nll(
         tok_logp[:b], mask[:b])
+
+
+def _chunked_completion_stats(apply_logits, hidden, targets, mask,
+                              chunk: int):
+    """Masked per-sequence sums of (tok_logp, WPO-adjusted tok_logp) from
+    hidden states, walking S in ``chunk`` pieces under a rematerialized
+    scan (peak (2B, chunk, V) instead of (2B, S, V) in fwd AND bwd)."""
+    b2, sm1 = targets.shape
+    pad = (-sm1) % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    nch = (sm1 + pad) // chunk
+    hc = jnp.transpose(hidden.reshape(b2, nch, chunk, hidden.shape[-1]),
+                       (1, 0, 2, 3))
+    tc = jnp.transpose(targets.reshape(b2, nch, chunk), (1, 0, 2))
+    mc = jnp.transpose(mask.reshape(b2, nch, chunk), (1, 0, 2))
+
+    def body(carry, xs):
+        s_tok, s_adj = carry
+        h, t, m = xs
+        logp = jax.nn.log_softmax(apply_logits(h).astype(jnp.float32),
+                                  axis=-1)
+        tok = jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+        adj = jax.lax.stop_gradient(jax.nn.logsumexp(2.0 * logp, axis=-1))
+        return (s_tok + jnp.sum(tok * m, axis=-1),
+                s_adj + jnp.sum((jax.lax.stop_gradient(tok) - adj) * m,
+                                axis=-1)), None
+
+    zero = jnp.zeros((b2,), jnp.float32)
+    (s_tok, s_adj), _ = jax.lax.scan(jax.checkpoint(body), (zero, zero),
+                                     (hc, tc, mc))
+    return s_tok, s_adj
 
 
 def _wpo_weights(logp, tok_logp, mask, b):
@@ -313,7 +370,14 @@ def dpo_loss(policy_c, policy_r, ref_c, ref_r, cfg: DPOConfig,
 def make_dpo_loss_fn(model: U2CausalLM, cfg: DPOConfig):
     average = cfg.loss_type == "ipo"
     need_aux = cfg.use_weighting or cfg.rpo_alpha is not None
-    fwd = _packed_completion_logps if cfg.packed else _completion_logps
+    if cfg.packed:
+        # the packed forward keeps the full-logits path (its per-segment
+        # boundary gathers don't chunk cleanly); ce_chunk applies unpacked
+        fwd = _packed_completion_logps
+    else:
+        import functools
+
+        fwd = functools.partial(_completion_logps, ce_chunk=cfg.ce_chunk)
 
     def loss_fn(params, ref_params, batch):
         weights = nll = None
