@@ -47,6 +47,8 @@ PG_STATE=/tmp/pg_full.json PG_STAGE=report python tools_bench_pred_green.py
 
 echo "=== 8B QLoRA SFT proof (int4 frozen base, one 16 GB chip)"
 TRAIN_STEPS=4 timeout 5000 python tools_train_8b_qlora.py
+TRAIN_CE_CHUNK=256 TRAIN_STEPS=4 timeout 5000 python tools_train_8b_qlora.py || \
+  echo "8B QLoRA with chunked CE failed"
 
 echo "=== slot-engine ladder sweep (per-dispatch cost per verify-block size)"
 timeout 4000 python tools_bench_slots.py

@@ -260,7 +260,7 @@ def _run_qlora_training(args, cfg, tcfg, loader, total_steps,
          "full": optax.adafactor(schedule, min_dim_size_to_factor=128)},
         lambda tree: {k: ("lora" if k.endswith(("/lora_a", "/lora_b"))
                           else "full") for k in tree})
-    loss_fn = make_loss_fn(model)
+    loss_fn = make_loss_fn(model, tcfg.ce_chunk)
     qstep = jax.jit(make_qlora_train_step(tx, loss_fn),
                     donate_argnums=(0, 1))
 
