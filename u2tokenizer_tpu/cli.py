@@ -515,6 +515,7 @@ def _build_judge(args):
             "[Explanation]:\nstub\n\n[Clinically Significant Errors]:\n"
             "(a) False report of a finding in the candidate: 0.\n\n"
             "[Matched Findings]:\n1. stub\n" for _ in prompts]
+    import jax
     import jax.numpy as jnp
 
     from .models.hf_weights import (convert_decoder, llm_config_from_hf,
@@ -526,6 +527,24 @@ def _build_judge(args):
     cfg = llm_config_from_hf(hf_cfg)
     sd = load_safetensors_dir(args.judge)
     params = {"params": convert_decoder(sd, cfg)}
+    weights = getattr(args, "judge_weights", "bf16")
+    if weights == "int8":
+        # weight-only int8: a 7B judge (GREEN-RadLlama2) drops from 14 GB
+        # bf16 to ~7 GB — comfortable on one 16 GB chip with the 2048-token
+        # batch-4 judging protocol (green_refactored/green.py:211-212);
+        # judging is weight-streaming-bound, so this is also faster
+        from .models.quantize import (cast_for_inference,
+                                      quantize_llm_weights,
+                                      quantized_llm_config)
+
+        params = jax.jit(lambda p: quantize_llm_weights(
+            cast_for_inference(p)))(params)
+        cfg = quantized_llm_config(cfg)
+    elif weights not in (None, "bf16"):
+        # int4 would need in-jit materialization (the axon relay cannot
+        # pass S4 arrays across jit boundaries — BENCHMARKS.md gotchas)
+        raise SystemExit(f"--judge-weights {weights} unsupported for the "
+                         "judge; use bf16 or int8")
     model = CausalLM(cfg, dtype=jnp.bfloat16)
     tokenizer = _load_tokenizer(args.judge)
     return JaxJudge(model, params, tokenizer)
@@ -586,7 +605,9 @@ def cmd_eval(args):
     else:
         scorer = None
         if args.judge is not None:
-            judge_args = argparse.Namespace(judge=args.judge)
+            judge_args = argparse.Namespace(
+                judge=args.judge,
+                judge_weights=getattr(args, "judge_weights", "bf16"))
             scorer = GreenScorer(_build_judge(judge_args),
                                  compute_summary_stats=False,
                                  judge_name=args.judge)
@@ -675,7 +696,9 @@ def cmd_eval_predictions(args):
     rows = load_jsonl(args.predictions)
     scorer = None
     if args.judge is not None:
-        judge_args = argparse.Namespace(judge=args.judge)
+        judge_args = argparse.Namespace(
+                judge=args.judge,
+                judge_weights=getattr(args, "judge_weights", "bf16"))
         scorer = GreenScorer(_build_judge(judge_args),
                              compute_summary_stats=False,
                              judge_name=args.judge)
@@ -1174,6 +1197,12 @@ def build_parser():
     gr.add_argument("--predictions", required=True)
     gr.add_argument("--judge", default=None,
                     help="HF checkpoint dir of the judge LLM (GREEN-RadLlama2)")
+    gr.add_argument("--judge-weights", dest="judge_weights", default="bf16",
+                    choices=["bf16", "int8"],
+                    help="judge serving precision: int8 halves the judge's "
+                         "weight footprint (a 7B judge fits one 16 GB chip "
+                         "comfortably) and speeds weight-streaming-bound "
+                         "judging")
     gr.add_argument("--output", required=True)
     gr.add_argument("--no-summary", action="store_true")
     gr.set_defaults(fn=cmd_green)
@@ -1206,6 +1235,8 @@ def build_parser():
     ev.add_argument("--jsonl-path", dest="jsonl_path", required=True)
     ev.add_argument("--checkpoint", default=None)
     ev.add_argument("--judge", default=None)
+    ev.add_argument("--judge-weights", dest="judge_weights",
+                    default="bf16", choices=["bf16", "int8"])
     ev.add_argument("--output", required=True)
     ev.add_argument("--max-length", type=int, default=1024)
     ev.add_argument("--max-new-tokens", type=int, default=768)
@@ -1249,6 +1280,8 @@ def build_parser():
     ep.add_argument("--predictions", required=True)
     ep.add_argument("--output", required=True)
     ep.add_argument("--judge", default=None)
+    ep.add_argument("--judge-weights", dest="judge_weights",
+                    default="bf16", choices=["bf16", "int8"])
     ep.add_argument("--no-bertscore", action="store_true")
     ep.set_defaults(fn=cmd_eval_predictions)
 
