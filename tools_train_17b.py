@@ -147,18 +147,9 @@ def main():
         base = unflatten_dict(merged, sep="/")
         eff = apply_lora(base, wparams["lora"], lcfg)
         if ce_chunk:  # chunked loss: never materialize (B, S, 152k) logits
-            from u2tokenizer_tpu.train.sft import (
-                chunked_cross_entropy_from_hidden)
+            from u2tokenizer_tpu.train.sft import chunked_lm_loss
 
-            embeds = model.apply(eff, batch["input_ids"], batch["images"],
-                                 batch["question_ids"],
-                                 method="prepare_inputs_embeds")
-            _, hidden, _ = model.apply(
-                eff, embeds, batch["attention_mask"], compute_logits=False,
-                method="forward_embeds")
-            return chunked_cross_entropy_from_hidden(
-                lambda h: model.apply(eff, h, method="lm_logits"),
-                hidden, batch["labels"], ce_chunk)
+            return chunked_lm_loss(model, eff, batch, ce_chunk)
         logits, _, _ = model.apply(
             eff, batch["input_ids"], batch["images"], batch["question_ids"],
             attention_mask=batch["attention_mask"])

@@ -135,22 +135,13 @@ def main():
         lambda tree: {k: ("lora" if k.endswith(("/lora_a", "/lora_b"))
                           else "full") for k in tree})
 
-    ce_chunk = int(__import__("os").environ.get("TRAIN_CE_CHUNK", "0"))
+    ce_chunk = int(os.environ.get("TRAIN_CE_CHUNK", "0"))
 
     def loss_fn(params, b):
         if ce_chunk:  # never materialize the (B, S, 152k) logits
-            from u2tokenizer_tpu.train.sft import (
-                chunked_cross_entropy_from_hidden)
+            from u2tokenizer_tpu.train.sft import chunked_lm_loss
 
-            embeds = model.apply(params, b["input_ids"], b["images"],
-                                 b["question_ids"],
-                                 method="prepare_inputs_embeds")
-            _, hidden, _ = model.apply(
-                params, embeds, b["attention_mask"], compute_logits=False,
-                method="forward_embeds")
-            return chunked_cross_entropy_from_hidden(
-                lambda h: model.apply(params, h, method="lm_logits"),
-                hidden, b["labels"], ce_chunk)
+            return chunked_lm_loss(model, params, b, ce_chunk)
         logits, _, _ = model.apply(
             params, b["input_ids"], b["images"], b["question_ids"],
             attention_mask=b["attention_mask"])

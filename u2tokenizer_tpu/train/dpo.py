@@ -185,7 +185,7 @@ def _completion_logps(model: U2CausalLM, params, batch,
             method="forward_embeds")
         s_tok, s_adj = _chunked_completion_stats(
             lambda h: model.apply(params, h, method="lm_logits"),
-            hidden[:, :-1], targets, mask, ce_chunk)
+            hidden[:, :-1], targets, mask, ce_chunk, need_adj=aux)
         msum = jnp.sum(mask, axis=-1).astype(jnp.float32)
         sums = s_tok / jnp.maximum(msum, 1.0) if average else s_tok
         if not aux:
@@ -211,10 +211,14 @@ def _completion_logps(model: U2CausalLM, params, batch,
 
 
 def _chunked_completion_stats(apply_logits, hidden, targets, mask,
-                              chunk: int):
+                              chunk: int, need_adj: bool = True):
     """Masked per-sequence sums of (tok_logp, WPO-adjusted tok_logp) from
     hidden states, walking S in ``chunk`` pieces under a rematerialized
-    scan (peak (2B, chunk, V) instead of (2B, S, V) in fwd AND bwd)."""
+    scan (peak (2B, chunk, V) instead of (2B, S, V) in fwd AND bwd).
+    ``need_adj=False`` (reference forward / no-WPO policy forward) skips
+    the adjustment's extra full-vocab logsumexp pass and returns None."""
+    if chunk <= 0:
+        raise ValueError(f"ce_chunk must be > 0, got {chunk}")
     b2, sm1 = targets.shape
     pad = (-sm1) % chunk
     if pad:
@@ -233,15 +237,18 @@ def _chunked_completion_stats(apply_logits, hidden, targets, mask,
         logp = jax.nn.log_softmax(apply_logits(h).astype(jnp.float32),
                                   axis=-1)
         tok = jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
-        adj = jax.lax.stop_gradient(jax.nn.logsumexp(2.0 * logp, axis=-1))
-        return (s_tok + jnp.sum(tok * m, axis=-1),
-                s_adj + jnp.sum((jax.lax.stop_gradient(tok) - adj) * m,
-                                axis=-1)), None
+        s_tok = s_tok + jnp.sum(tok * m, axis=-1)
+        if need_adj:
+            adj = jax.lax.stop_gradient(
+                jax.nn.logsumexp(2.0 * logp, axis=-1))
+            s_adj = s_adj + jnp.sum(
+                (jax.lax.stop_gradient(tok) - adj) * m, axis=-1)
+        return (s_tok, s_adj), None
 
     zero = jnp.zeros((b2,), jnp.float32)
     (s_tok, s_adj), _ = jax.lax.scan(jax.checkpoint(body), (zero, zero),
                                      (hc, tc, mc))
-    return s_tok, s_adj
+    return s_tok, (s_adj if need_adj else None)
 
 
 def _wpo_weights(logp, tok_logp, mask, b):
@@ -373,6 +380,13 @@ def make_dpo_loss_fn(model: U2CausalLM, cfg: DPOConfig):
     if cfg.packed:
         # the packed forward keeps the full-logits path (its per-segment
         # boundary gathers don't chunk cleanly); ce_chunk applies unpacked
+        if cfg.ce_chunk:
+            import warnings
+
+            warnings.warn("DPOConfig(packed=True) ignores ce_chunk — the "
+                          "packed forward materializes full logits; drop "
+                          "packed to get the chunked memory relief",
+                          stacklevel=2)
         fwd = _packed_completion_logps
     else:
         import functools

@@ -66,6 +66,8 @@ def chunked_cross_entropy_from_hidden(apply_logits, hidden: jax.Array,
     apply_logits(h_chunk (B, c, E)) -> fp32 logits (B, c, V); typically
     ``lambda h: model.apply(params, h, method="lm_logits")``.
     """
+    if chunk <= 0:
+        raise ValueError(f"ce_chunk must be > 0, got {chunk}")
     hidden = hidden[:, :-1]
     targets = labels[:, 1:]
     b, sm1 = targets.shape
@@ -118,6 +120,21 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
     return tx
 
 
+def chunked_lm_loss(model, params, batch, ce_chunk: int):
+    """(loss, token_accuracy) via the chunked CE path: multimodal splice ->
+    hidden states (no logits) -> chunked loss. Shared by make_loss_fn and
+    the on-chip training tools (one place threads the batch fields)."""
+    embeds = model.apply(
+        params, batch["input_ids"], batch.get("images"),
+        batch.get("question_ids"), method="prepare_inputs_embeds")
+    _, hidden, _ = model.apply(
+        params, embeds, batch.get("attention_mask"),
+        compute_logits=False, method="forward_embeds")
+    return chunked_cross_entropy_from_hidden(
+        lambda h: model.apply(params, h, method="lm_logits"),
+        hidden, batch["labels"], ce_chunk)
+
+
 def make_loss_fn(model: U2CausalLM, ce_chunk: int = 0):
     """ce_chunk > 0 computes the loss from hidden states in sequence
     chunks (chunked_cross_entropy_from_hidden) — same numbers, but the
@@ -125,15 +142,7 @@ def make_loss_fn(model: U2CausalLM, ce_chunk: int = 0):
 
     def loss_fn(params, batch: Dict[str, jax.Array]):
         if ce_chunk:
-            embeds = model.apply(
-                params, batch["input_ids"], batch.get("images"),
-                batch.get("question_ids"), method="prepare_inputs_embeds")
-            _, hidden, _ = model.apply(
-                params, embeds, batch.get("attention_mask"),
-                compute_logits=False, method="forward_embeds")
-            loss, acc = chunked_cross_entropy_from_hidden(
-                lambda h: model.apply(params, h, method="lm_logits"),
-                hidden, batch["labels"], ce_chunk)
+            loss, acc = chunked_lm_loss(model, params, batch, ce_chunk)
             return loss, {"loss": loss, "token_accuracy": acc}
         logits, _, _ = model.apply(
             params,
