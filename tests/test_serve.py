@@ -149,6 +149,16 @@ def test_llm_server_n_choices(llm_server_url):
               {"prompt": "x", "n": 2, "stream": True})
     assert exc.value.code == 400
 
+    # n above the bound is refused on BOTH endpoints (each distinct n
+    # jit-compiles a fan-out decode kept in cache forever)
+    for path, payload in (
+            ("/v1/chat/completions",
+             {"messages": [{"role": "user", "content": "x"}], "n": 99}),
+            ("/v1/completions", {"prompt": "x", "n": 99})):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(llm_server_url + path, payload)
+        assert exc.value.code == 400
+
 
 def test_llm_server_sampled_n_fanout():
     """A sampled TextLMServer decodes n choices in one fan-out call; the
