@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-device virtual-mesh sharded training
+
 from u2tokenizer_tpu.config import MeshConfig, TrainConfig, U2ModelConfig
 from u2tokenizer_tpu.models.u2_model import U2CausalLM
 from u2tokenizer_tpu.parallel.mesh import make_mesh

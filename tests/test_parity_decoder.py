@@ -8,6 +8,8 @@ families the reference wraps (u2llama.py / u2phi3.py / u2qwen3.py).
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # golden-parity vs the torch/HF oracle
 import torch
 
 from u2tokenizer_tpu.config import LLMConfig

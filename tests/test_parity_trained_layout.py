@@ -18,6 +18,8 @@ import json
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # golden-parity vs the trained-layout torch oracle
 import torch
 
 from golden_utils import randomize_torch_module, t2n

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # golden-parity vs the torch reference oracle
 import torch
 
 from golden_utils import (

@@ -144,6 +144,7 @@ def test_qlora_train_step_u2():
     assert moved
 
 
+@pytest.mark.slow  # 8-device virtual-mesh sharded QLoRA step
 def test_qlora_train_step_sharded_matches_single():
     """Multi-chip QLoRA: the same train step with every tree (adapters,
     frozen quantized base, optimizer state) placed via the mesh sharding

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # emits + runs the torch remote-code package
 import torch
 
 from u2tokenizer_tpu.config import U2ModelConfig, U2TokenizerConfig

@@ -147,6 +147,7 @@ def test_engine_inference_stream_matches(setup):
     assert streamed.strip() == blocking
 
 
+@pytest.mark.slow  # 8-device virtual-mesh sharded serving
 def test_engine_tensor_parallel_matches(setup):
     """Multi-chip serving: the slot engine with TP/FSDP-sharded params on
     the virtual mesh produces the same tokens as the unsharded engine — the
