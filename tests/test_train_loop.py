@@ -120,6 +120,43 @@ def test_run_training_and_auto_resume(tiny_trainer, tmp_path):
     assert by_step[5] < by_step[3] < by_step[1]
 
 
+def test_run_training_resume_skips_consumed_batches(tiny_trainer, tmp_path):
+    """Mid-epoch resume must fast-forward the data stream past the batches
+    the killed run already consumed (HF Trainer resume semantics,
+    ignore_data_skip=False) — otherwise a resumed epoch re-trains its head
+    and never sees its tail."""
+    model, tx, state0, train_step, batch = tiny_trainer
+    out = str(tmp_path / "runskip")
+    tcfg = TrainConfig(max_steps=3, save_steps=1, log_steps=1,
+                       save_total_limit=8, output_dir=out)
+
+    consumed = []
+
+    def data_iter_fn(epoch):
+        def gen():
+            for i in range(4):
+                consumed.append((epoch, i))
+                yield batch
+        return gen()
+
+    run_training(tcfg, state0, train_step, data_iter_fn, steps_per_epoch=4)
+    # 3 trained batches (+ device_prefetch lookahead is allowed)
+    assert consumed[:3] == [(0, 0), (0, 1), (0, 2)]
+
+    consumed.clear()
+    tcfg2 = dataclasses.replace(tcfg, max_steps=5)
+    state2 = run_training(tcfg2, state0, train_step, data_iter_fn,
+                          steps_per_epoch=4)
+    assert int(np.asarray(state2.step)) == 5
+    # the resumed run materializes (0,0..2) to skip them, trains on (0,3)
+    # as step 4, then starts epoch 1 with (1,0) as step 5
+    assert consumed[:4] == [(0, 0), (0, 1), (0, 2), (0, 3)]
+    assert (1, 0) in consumed
+    records = _read_metrics(out)
+    steps = [r["step"] for r in records if "steps_per_s" in r]
+    assert steps.count(4) == 1 and steps.count(5) == 1
+
+
 def test_run_training_through_threaded_dataloader(tiny_trainer, tmp_path):
     """SFT smoke at the cli.py wiring: run_training consumes a threaded
     DataLoader (num_workers=4) for >8 batches — the configuration that

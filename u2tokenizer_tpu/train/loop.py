@@ -116,8 +116,26 @@ def run_training(
     t_last = time.time()
     done = False
     epoch = 0 if steps_per_epoch is None else start_step // max(steps_per_epoch, 1)
+    # in-epoch fast-forward after a mid-epoch resume: skip the batches the
+    # pre-kill run already consumed so the data stream re-aligns with the
+    # step counter (HF Trainer's default resume semantics,
+    # ignore_data_skip=False). The skipped batches are still materialized
+    # by the loader (same behavior as the reference) so per-sample RNG
+    # streams advance consistently.
+    skip = 0
+    if restored is not None and steps_per_epoch:
+        skip = start_step % max(steps_per_epoch, 1)
+        if skip:
+            print(f"resume: skipping {skip} already-consumed batches of "
+                  f"epoch {epoch}", flush=True)
     while not done:
-        for batch in device_prefetch(data_iter_fn(epoch), batch_shardings):
+        data_iter = data_iter_fn(epoch)
+        if skip:
+            import itertools
+
+            data_iter = itertools.islice(data_iter, skip, None)
+            skip = 0
+        for batch in device_prefetch(data_iter, batch_shardings):
             state, metrics = train_step(state, batch)
             step += 1
             if step % cfg.log_steps == 0:
