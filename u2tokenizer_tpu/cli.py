@@ -772,6 +772,11 @@ def cmd_verify_checkpoint(args):
     from .models.hf_weights import convert_u2_checkpoint
     from .models.u2_model import U2CausalLM
 
+    if getattr(args, "platform", "cpu") == "cpu":
+        # deterministic host-side gate: CPU fp32 matmuls are exact, TPU
+        # fp32 uses reduced-precision passes (~1e-2 drift vs torch CPU)
+        jax.config.update("jax_platforms", "cpu")
+
     cfg, sd = _checkpoint_cfg_and_sd(args.hf_dir, args.num_chunks)
     params = convert_u2_checkpoint(sd, cfg)
     model = U2CausalLM(cfg, dtype=jnp.float32)
@@ -1274,6 +1279,12 @@ def build_parser():
     vc.add_argument("--num-chunks", type=int, default=8)
     vc.add_argument("--greedy-tokens", type=int, default=8)
     vc.add_argument("--tol", type=float, default=5e-3)
+    vc.add_argument("--platform", default="cpu",
+                    choices=["cpu", "default"],
+                    help="JAX platform for the parity forward (default "
+                         "cpu: exact fp32 matmuls; TPU fp32 uses reduced-"
+                         "precision passes and drifts ~1e-2 vs the torch "
+                         "CPU oracle)")
     vc.set_defaults(fn=cmd_verify_checkpoint)
 
     ep = sub.add_parser("eval-predictions")
