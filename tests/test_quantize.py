@@ -143,12 +143,14 @@ def test_int4_tree_structure(tiny_lm):
     assert inner["embed_tokens"].dtype == jnp.int8
     attn = inner["layers_0"]["self_attn"]
     out_f = cfg.num_heads * cfg.head_dim
-    assert attn["q_proj"]["kernel"].dtype == jnp.int4
-    assert attn["q_proj"]["kernel"].shape == (1, cfg.hidden_size, out_f)
+    # int4 kernels are stored PACKED as int8 nibble pairs along the group
+    # axis (decoder.pack_int4) — transportable across the axon relay
+    assert attn["q_proj"]["kernel"].dtype == jnp.int8
+    assert attn["q_proj"]["kernel"].shape == (1, cfg.hidden_size // 2, out_f)
     assert attn["q_proj"]["scale"].shape == (1, out_f)
-    # intermediate=256 divides into two 128-groups
+    # intermediate=256 divides into two 128-groups (64 packed bytes each)
     mlp = inner["layers_0"]["mlp"]
-    assert mlp["down_proj"]["kernel"].shape == (2, 128, cfg.hidden_size)
+    assert mlp["down_proj"]["kernel"].shape == (2, 64, cfg.hidden_size)
     assert mlp["down_proj"]["scale"].shape == (2, cfg.hidden_size)
 
 
@@ -166,8 +168,12 @@ def test_int4_quantization_exact_on_grid():
     kernel = jnp.asarray(grid.reshape(2, 128, out) * gscale) \
         .reshape(in_f, out)
     q, s = _quantize_kernel_int4(kernel)
+    from u2tokenizer_tpu.models.llm.decoder import unpack_int4
+
+    assert q.dtype == jnp.int8 and q.shape == (2, 64, out)  # packed
     np.testing.assert_allclose(
-        np.asarray(q.astype(jnp.float32)) * np.asarray(s)[:, None, :],
+        np.asarray(unpack_int4(q).astype(jnp.float32))
+        * np.asarray(s)[:, None, :],
         np.asarray(kernel).reshape(2, 128, out), rtol=1e-5)
 
     x = jnp.asarray(rng.normal(size=(3, in_f)).astype(np.float32))

@@ -73,15 +73,19 @@ class KVCache:
         shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
         if dtype in ("int8", jnp.int8, "int4", jnp.int4):
             qdt = jnp.int4 if dtype in ("int4", jnp.int4) else jnp.int8
-            # scales live as (B, Hkv, S) fp32: a trailing dim of 1 would be
+            # scales live as (B, Hkv, S): a trailing dim of 1 would be
             # lane-padded 1->128 by the TPU tiler (measured: 14 GB of pure
-            # padding at B64), while (Hkv, S) tiles exactly.
+            # padding at B64), while (Hkv, S) tiles exactly. bf16 storage:
+            # quantize_kv already computes bf16 scales, and at B64 fp32
+            # scale buffers were 2.06 GB of the decode stream (vs 3.3 GB
+            # of int4 payload) — bf16 halves that for ~2^-8 relative
+            # scale error on top of the int grid.
             sshape = (batch, cfg.num_kv_heads, max_len)
             zeros = lambda sh, dt: tuple(jnp.zeros(sh, dt)
                                          for _ in range(cfg.num_layers))
             return cls(k=zeros(shape, qdt), v=zeros(shape, qdt),
-                       k_scale=zeros(sshape, jnp.float32),
-                       v_scale=zeros(sshape, jnp.float32))
+                       k_scale=zeros(sshape, jnp.bfloat16),
+                       v_scale=zeros(sshape, jnp.bfloat16))
         return cls(k=tuple(jnp.zeros(shape, dtype)
                            for _ in range(cfg.num_layers)),
                    v=tuple(jnp.zeros(shape, dtype)
@@ -120,6 +124,29 @@ def int4_group(in_features: int, group: int = 128) -> int:
     return group if in_features % group == 0 else in_features
 
 
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4 values (any int dtype, range [-7, 7]) pairwise along the
+    group axis: (ng, g, out) -> (ng, g//2, out) int8, low nibble = even
+    index. int4 weight trees are STORED packed as int8: identical HBM
+    bytes to XLA's packed S4, but transportable — the axon relay cannot
+    device_put S4 arrays across jit boundaries (r4 on-chip
+    RecursionError), which blocked passing an int4 frozen base into a
+    QLoRA train step."""
+    q = q.astype(jnp.int8)
+    lo = q[:, 0::2] & jnp.int8(0x0F)
+    hi = q[:, 1::2] << 4
+    return hi | lo
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``pack_int4``: (ng, g//2, out) int8 -> (ng, g, out) int8
+    with sign-extended nibble values in [-8, 7]."""
+    lo = (packed << 4) >> 4  # arithmetic shifts sign-extend the low nibble
+    hi = packed >> 4
+    ng, gh, out = packed.shape
+    return jnp.stack([lo, hi], axis=2).reshape(ng, 2 * gh, out)
+
+
 class QDense(nn.Module):
     """Dense layer with optional weight-only int8/int4 quantization.
 
@@ -130,10 +157,13 @@ class QDense(nn.Module):
       * int8 (``quantized=True``/``"int8"``): (in, out) int8 kernel with a
         per-output-channel ``scale`` applied in the epilogue — one byte per
         element of decode-time weight streaming.
-      * int4 (``quantized="int4"``): (groups, group=128, out) int4 kernel
-        with per-(group, out) ``scale``; the matmul runs as a grouped einsum
-        so the int4→bf16 convert fuses into each group's dot and the scale
-        is applied in the group-sum — half a byte per element.
+      * int4 (``quantized="int4"``): (groups, group/2=64, out) int8 kernel
+        holding PACKED nibble pairs (pack_int4) with per-(group, out)
+        ``scale`` — half a byte per element, and int8-typed so the tree
+        crosses jit/transfer boundaries (S4 cannot on the axon relay).
+        The matmul unpacks in-kernel and picks its contraction order by
+        token count (per-group partials for decode, dequant-first for
+        prefill/training — see the branch comments).
 
     Quantized trees are produced by ``models.quantize.quantize_llm_weights``
     from a float checkpoint — init of a quantized module yields placeholder
@@ -158,16 +188,36 @@ class QDense(nn.Module):
         in_features = x.shape[-1]
         if self.quantized == "int4":
             g = int4_group(in_features)
+            if g % 2:
+                raise ValueError(f"int4 needs an even group, got {g}")
             ng = in_features // g
+            # stored packed: two nibbles per int8 byte (see pack_int4)
             kernel = self.param(
-                "kernel", lambda rng, shape: jnp.zeros(shape, jnp.int4),
-                (ng, g, self.features))
+                "kernel", lambda rng, shape: jnp.zeros(shape, jnp.int8),
+                (ng, g // 2, self.features))
             scale = self.param("scale", nn.initializers.ones,
                                (ng, self.features), jnp.float32)
+            kernel = unpack_int4(kernel)
             xg = x.astype(self.dtype).reshape(*x.shape[:-1], ng, g)
-            part = jnp.einsum("...gi,gio->...go", xg,
-                              kernel.astype(self.dtype))
-            y = jnp.einsum("...go,go->...o", part, scale.astype(self.dtype))
+            tokens = 1
+            for dim in x.shape[:-1]:
+                tokens *= dim
+            if tokens < g:
+                # decode regime: per-group partials cost tokens*ng*out —
+                # cheaper than dequantizing the kernel, and the int4→bf16
+                # convert fuses into each group's dot
+                part = jnp.einsum("...gi,gio->...go", xg,
+                                  kernel.astype(self.dtype))
+                y = jnp.einsum("...go,go->...o", part,
+                               scale.astype(self.dtype))
+            else:
+                # training/prefill regime: dequantize first (kernel-sized
+                # in*out temp) and contract (g, i) in ONE dot — the partial
+                # form materializes a tokens*ng*out temp, 9.3 GB for the
+                # 8B lm_head at S=1024 (r4 on-chip OOM, 22.2 GB used)
+                wk = (kernel.astype(self.dtype)
+                      * scale.astype(self.dtype)[:, None, :])
+                y = jnp.einsum("...gi,gio->...o", xg, wk)
         elif self.quantized:
             kernel = self.param(
                 "kernel", lambda rng, shape: jnp.zeros(shape, jnp.int8),

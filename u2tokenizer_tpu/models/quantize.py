@@ -49,17 +49,19 @@ def _quantize_channels(w: jax.Array, axis: int, eps: float = 1e-8):
 
 def _quantize_kernel_int4(kernel: jax.Array, group: int = 128,
                           eps: float = 1e-8):
-    """Group-wise symmetric int4: (in, out) -> ((G, group, out) int4,
-    (G, out) fp32 scales). G = in/group; per-channel when group ∤ in."""
-    from .llm.decoder import int4_group
+    """Group-wise symmetric int4: (in, out) -> ((G, group/2, out) int8
+    PACKED nibble pairs, (G, out) fp32 scales). G = in/group; per-channel
+    when group ∤ in. Packed storage (decoder.pack_int4) keeps the tree
+    int8-typed so it crosses jit/transfer boundaries on the axon relay."""
+    from .llm.decoder import int4_group, pack_int4
 
     in_f, out = kernel.shape
     g = int4_group(in_f, group)
     k = kernel.astype(jnp.float32).reshape(in_f // g, g, out)
     scale = jnp.max(jnp.abs(k), axis=1, keepdims=True) / 7.0
     scale = jnp.maximum(scale, eps)
-    q = jnp.clip(jnp.round(k / scale), -7, 7).astype(jnp.int4)
-    return q, scale[:, 0, :]
+    q = jnp.clip(jnp.round(k / scale), -7, 7).astype(jnp.int8)
+    return pack_int4(q), scale[:, 0, :]
 
 
 def _quantize_tree(node: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
@@ -122,8 +124,11 @@ def _dequantize_tree(node: Dict[str, Any]) -> Dict[str, Any]:
             if kernel is not None and not isinstance(kernel, dict) \
                     and jnp.issubdtype(kernel.dtype, jnp.integer):
                 scale = val["scale"]
-                if kernel.ndim == 3:  # int4 grouped: (ng, g, out), (ng, out)
-                    k = kernel.astype(jnp.float32) * scale[:, None, :]
+                if kernel.ndim == 3:  # int4 grouped (packed): (ng, g/2, out)
+                    from .llm.decoder import unpack_int4
+
+                    k = (unpack_int4(kernel).astype(jnp.float32)
+                         * scale[:, None, :])
                     k = k.reshape(-1, k.shape[-1])
                 else:  # int8 per-out-channel: (in, out), (out,)
                     k = kernel.astype(jnp.float32) * scale[None, :]
