@@ -194,7 +194,11 @@ def _lse_kernel(lens_ref, q_ref, k_ref, l_ref, *, bq: int, bk: int,
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     m, l = jax.lax.fori_loop(0, n_chunks, body, (m0, l0))
-    l_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+    # rows carry a trailing singleton lane axis: Mosaic requires the last
+    # two BLOCK dims to be (8k, 128k) or match the array dims — (bq, 1)
+    # with a size-1 trailing array dim satisfies that; (1, bq) does not
+    # (r4 on-chip lowering failure at h=16).
+    l_ref[0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref,
@@ -206,8 +210,8 @@ def _dq_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref,
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)                  # (bq, D)
     do = do_ref[0, 0].astype(jnp.float32)                # (bq, D)
-    lse = l_ref[0, 0][:, None]                           # (bq, 1)
-    dd = dd_ref[0, 0][:, None]                           # (bq, 1)
+    lse = l_ref[0, 0]                                    # (bq, 1)
+    dd = dd_ref[0, 0]                                    # (bq, 1)
     sk_pad = k_ref.shape[2]
     valid_len = lens_ref[b]
     n_chunks = ((qi * bq + bq + bk - 1) // bk) if causal else (sk_pad // bk)
@@ -259,8 +263,8 @@ def _dkv_kernel(lens_ref, q_ref, k_ref, v_ref, do_ref, l_ref, dd_ref,
             dk, dv = carry
             qb = q_ref[0, g, pl.ds(qj * bq, bq), :].astype(jnp.float32)
             dob = do_ref[0, g, pl.ds(qj * bq, bq), :].astype(jnp.float32)
-            lse = l_ref[0, g, pl.ds(qj * bq, bq)][:, None]
-            dd = dd_ref[0, g, pl.ds(qj * bq, bq)][:, None]
+            lse = l_ref[0, g, pl.ds(qj * bq, bq), :]     # (bq, 1)
+            dd = dd_ref[0, g, pl.ds(qj * bq, bq), :]     # (bq, 1)
             s = jax.lax.dot_general(
                 qb, kk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (bq, bk2)
@@ -307,15 +311,18 @@ def _flash_bwd_raw(q, k, v, lens, out, do, causal: bool, scale: float,
     qp, dop, outp = pad_q(q), pad_q(do), pad_q(out)
     kp, vp = pad_k(k), pad_k(v)
     # D_i = sum_d dO_i · O_i (padded rows are zero, so they contribute 0
-    # to every kernel below even where recomputed p is nonzero)
+    # to every kernel below even where recomputed p is nonzero). Row
+    # statistics (dd, lse) carry a trailing singleton lane axis so their
+    # block specs satisfy Mosaic's last-two-dims rule (see _lse_kernel).
     dd = jnp.sum(dop.astype(jnp.float32) * outp.astype(jnp.float32),
-                 axis=-1)                                 # (B, H, Sq_pad)
+                 axis=-1)[..., None]                      # (B, H, Sq_pad, 1)
     lens = lens.astype(jnp.int32)
 
     qspec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0))
     kspec = pl.BlockSpec((1, 1, sk_pad, d),
                          lambda bi, hi, qi, lens: (bi, hi // group, 0, 0))
-    rowspec = pl.BlockSpec((1, 1, bq), lambda bi, hi, qi, lens: (bi, hi, qi))
+    rowspec = pl.BlockSpec((1, 1, bq, 1),
+                           lambda bi, hi, qi, lens: (bi, hi, qi, 0))
 
     lse = pl.pallas_call(
         functools.partial(_lse_kernel, bq=bq, bk=bk, causal=causal,
@@ -323,7 +330,7 @@ def _flash_bwd_raw(q, k, v, lens, out, do, causal: bool, scale: float,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(b, h, sq_pad // bq),
             in_specs=[qspec, kspec], out_specs=rowspec),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         interpret=interpret,
     )(lens, qp, kp)
 
@@ -340,8 +347,8 @@ def _flash_bwd_raw(q, k, v, lens, out, do, causal: bool, scale: float,
 
     gqspec = pl.BlockSpec((1, group, sq_pad, d),
                           lambda bi, hi, ki, lens: (bi, hi, 0, 0))
-    growspec = pl.BlockSpec((1, group, sq_pad),
-                            lambda bi, hi, ki, lens: (bi, hi, 0))
+    growspec = pl.BlockSpec((1, group, sq_pad, 1),
+                            lambda bi, hi, ki, lens: (bi, hi, 0, 0))
     kvblock = pl.BlockSpec((1, 1, bk2, d),
                            lambda bi, hi, ki, lens: (bi, hi, ki, 0))
     dk, dv = pl.pallas_call(
