@@ -47,7 +47,11 @@ A40_BASELINE = {"1.7b": 15.58, "8b": 3.09}
 MODEL = __import__("os").environ.get("BENCH_MODEL", "1.7b")  # 1.7b | 8b
 BATCH = int(__import__("os").environ.get(
     "BENCH_BATCH", "64" if MODEL == "1.7b" else "16"))
-KV_DTYPE = __import__("os").environ.get("BENCH_KV", "int8")  # int8 | bf16
+# int4 KV is the measured-best serving config (r4 on-chip A/B,
+# docs/artifacts/r4: int4 283.9 vs int8 245.0 r/min at B64 plain greedy —
+# the decode loop is cache-bandwidth bound; per-(position, head) scales,
+# accuracy covered by the quantized-cache parity tests).
+KV_DTYPE = __import__("os").environ.get("BENCH_KV", "int4")  # int4|int8|bf16
 WQ = __import__("os").environ.get("BENCH_WQ", "int8")  # int8|int4|bf16|fp32
 # Headline = plain greedy. Speculative decoding is output-identical for
 # the greedy report protocol, but at B64 a verify step costs ~2.2x a

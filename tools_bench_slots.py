@@ -59,8 +59,11 @@ for label, spec, kb in ROWS:
     eng2.run()
     if spec == "auto":
         for kbx in eng2._kb_ladder:
-            np.asarray(eng2._decode_for(kbx)(
-                params, eng2.state, jax.random.PRNGKey(0)))
+            # fetch every leaf (the decode returns a pytree, and on axon
+            # only a fetch synchronizes)
+            for leaf in jax.tree_util.tree_leaves(eng2._decode_for(kbx)(
+                    params, eng2.state, jax.random.PRNGKey(0))):
+                np.asarray(leaf)
     print(f"{label}: warm-up (compiles) {time.time()-t0:.0f}s", flush=True)
     # reset results/stats/policy so the timed run is clean
     eng2._results.clear()
