@@ -159,3 +159,55 @@ def test_jax_judge_share_prefix_empty_prompt():
     outs = judge(["", "some finding"])
     assert len(outs) == 2
     assert all(split == 0 for (_, split) in judge._gen_cache)
+
+
+@pytest.mark.parametrize("cache_dtype", [jnp.float32, "int8"])
+def test_fanout_split_speculative_greedy(grouped_lm, cache_dtype):
+    """fanout_split: the shared split lives in a per-CASE prefix cache
+    (streamed once per case at decode via gqa_sdpa_fanout) and the per-row
+    suffix cache holds only [prompt tail ; generated] — bit-identical to
+    the plain greedy loop, with the shared keys never duplicated (unlike
+    shared_prefix=, which tiles them back into full-size caches)."""
+    cfg, model, params, ids, prompt_len, n, split = grouped_lm
+    gen = GenerationConfig(max_new_tokens=10, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    emb = _embeds(model, params, ids)
+    rng = jax.random.PRNGKey(5)
+
+    plain = np.asarray(make_generate_fn(model, gen, cache_dtype)(
+        params, emb, prompt_len, rng))
+    fan = np.asarray(make_spec_generate_fn(
+        model, gen, cache_dtype, fanout_split=(n, split))(
+        params, emb, ids, prompt_len, rng))
+    np.testing.assert_array_equal(fan, plain)
+
+
+def test_fanout_split_chunked_tail_prefill():
+    """A tail long enough to trigger the chunked phase-2 prefill (s2=64 ->
+    two 32-token chunks) still matches the one-shot plain loop."""
+    cfg = LLMConfig.tiny()
+    model = CausalLM(cfg, dtype=jnp.float32)
+    n, c, split = 2, 2, 12
+    b, s = c * n, 76  # s2 = 64
+    shared = jax.random.randint(jax.random.PRNGKey(1), (c, split), 0,
+                                cfg.vocab_size)
+    tails = jax.random.randint(jax.random.PRNGKey(2), (b, s - split), 0,
+                               cfg.vocab_size)
+    ids = jnp.concatenate(
+        [jnp.repeat(shared, n, axis=0), tails], axis=1).astype(jnp.int32)
+    prompt_len = jnp.array([76, 60, 44, 70], jnp.int32)
+    ids = ids * (jnp.arange(s)[None, :] < prompt_len[:, None])
+    emb0 = jnp.zeros((b, s, cfg.hidden_size), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), emb0,
+                        jnp.zeros((b, s), jnp.int32),
+                        jnp.tril(jnp.ones((s, s), bool))[None, None])
+    gen = GenerationConfig(max_new_tokens=8, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    emb = _embeds(model, params, ids)
+    rng = jax.random.PRNGKey(5)
+    plain = np.asarray(make_generate_fn(model, gen, jnp.float32)(
+        params, emb, prompt_len, rng))
+    fan = np.asarray(make_spec_generate_fn(
+        model, gen, jnp.float32, fanout_split=(n, split))(
+        params, emb, ids, prompt_len, rng))
+    np.testing.assert_array_equal(fan, plain)

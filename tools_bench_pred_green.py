@@ -65,6 +65,12 @@ PRED_SPEC = os.environ.get("PG_PRED_SPEC", "0") == "1"
 # them once per case (generate.shared_prefix_prefill), identical output.
 # PG_JUDGE_SHARE=0 measures the old per-row prefill baseline.
 JUDGE_SHARE = os.environ.get("PG_JUDGE_SHARE", "1") == "1"
+# PG_JUDGE_FANOUT=1: fanout_split — the shared split lives in a per-CASE
+# prefix cache streamed once per case at decode (gqa_sdpa_fanout) and the
+# per-row cache holds only [prompt tail ; judgment]: less resident memory
+# (share1 at B16 OOMed by 1.5 GB from the tiled full-size caches) AND less
+# per-step decode traffic. Output-identical (tests/test_shared_prefix.py).
+JUDGE_FANOUT = os.environ.get("PG_JUDGE_FANOUT", "0") == "1"
 # shared tokens per judge prompt (template ~600 + reference report ~400 of
 # the 2048-token prompt; candidate + instructions are per-row)
 JUDGE_SHARED_TOKENS = int(os.environ.get("PG_JUDGE_SHARED_TOKENS", "1024"))
@@ -267,14 +273,18 @@ def stage_judge():
     prompt_np[:, -JUDGE_TOKENS:] = script[:, :JUDGE_TOKENS]
     j_ids = jnp.asarray(prompt_np)
 
-    sp = ((N_SAMPLES, JUDGE_SHARED_TOKENS)
-          if JUDGE_SHARE and jb % N_SAMPLES == 0 else None)
-    if sp:
+    fs = sp = None
+    if JUDGE_FANOUT and jb % N_SAMPLES == 0:
+        fs = (N_SAMPLES, JUDGE_SHARED_TOKENS)
+        log(f"stage2: fanout_split — shared {JUDGE_SHARED_TOKENS}-token "
+            "prefix cached once per case, per-row tail-only caches")
+    elif JUDGE_SHARE and jb % N_SAMPLES == 0:
+        sp = (N_SAMPLES, JUDGE_SHARED_TOKENS)
         log(f"stage2: shared-prefix prefill ({JUDGE_SHARED_TOKENS} of "
             f"{JUDGE_PROMPT} prompt tokens once per case)")
     jfn = make_spec_generate_fn(judge, jgen, cache_dtype="int8",
                                 return_stats=True, forced_content=True,
-                                shared_prefix=sp)
+                                shared_prefix=sp, fanout_split=fs)
 
     def judge_step(params, ids, lens, rng, script):
         embeds = judge.apply(params, ids, method="embed_tokens")
@@ -301,7 +311,8 @@ def stage_judge():
         f"({accept:.2f} accepted/step on quoted-report content)")
     _save("judge_s", judge_s)
     _save("judge_accept", accept)
-    _save("judge_mode", "shared_prefix" if sp else "per_row_prefill")
+    _save("judge_mode", "fanout_split" if fs
+          else ("shared_prefix" if sp else "per_row_prefill"))
 
 
 def report():

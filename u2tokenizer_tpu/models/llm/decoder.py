@@ -547,10 +547,17 @@ class CausalLM(nn.Module):
     def setup(self):
         self.model = DecoderModel(self.cfg, self.dtype, self.remat)
         if not self.cfg.tie_word_embeddings:
+            # int4 mode keeps the lm_head int8, like the embedding table
+            # (quantize._quantize_tree): per-(group, out) int4 needs a
+            # dequantized in×vocab bf16 kernel in the training/prefill
+            # matmul — 1.16 GB for the 8B head, alive through the remat
+            # backward (r4 on-chip OOM at 18.3 GB) — while the int8 form
+            # is a direct dot with the convert fused into the HBM read.
+            q = self.cfg.quantized_weights
             self.lm_head = QDense(self.cfg.vocab_size,
                                   use_bias=self.cfg.lm_head_bias,
                                   dtype=self.dtype,
-                                  quantized=self.cfg.quantized_weights,
+                                  quantized="int8" if q == "int4" else q,
                                   name="lm_head")
 
     def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -579,10 +586,11 @@ class CausalLM(nn.Module):
                     compute_logits)
 
     def decode_step(self, token_embeds, positions, mask, cache, write_index,
-                    decode_bounds=None, prefix_cache=None, prefix_mask=None):
+                    decode_bounds=None, prefix_cache=None, prefix_mask=None,
+                    compute_logits=True):
         return self(token_embeds, positions, mask, cache, write_index,
                     decode_bounds=decode_bounds, prefix_cache=prefix_cache,
-                    prefix_mask=prefix_mask)
+                    prefix_mask=prefix_mask, compute_logits=compute_logits)
 
     def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
         """Project hidden states to vocabulary logits (fp32)."""

@@ -71,7 +71,12 @@ def _quantize_tree(node: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
             if "kernel" in val and not isinstance(val["kernel"], dict) \
                     and val["kernel"].ndim == 2:
                 kernel = val["kernel"]
-                if mode == "int4":
+                # the lm_head stays int8 in int4 mode, like the embedding
+                # table: the grouped-int4 training/prefill matmul needs a
+                # dequantized in×vocab bf16 kernel (1.16 GB at 8B, alive
+                # through the remat backward — r4 on-chip OOM), while the
+                # int8 dot fuses the convert into the HBM read
+                if mode == "int4" and key != "lm_head":
                     q, scale = _quantize_kernel_int4(kernel)
                     new = {"kernel": q, "scale": scale}
                 else:

@@ -175,13 +175,15 @@ class U2CausalLM(nn.Module):
         return self.llm.embed_tokens(input_ids)
 
     def decode_step(self, token_embeds, positions, mask, cache, write_index,
-                    decode_bounds=None, prefix_cache=None, prefix_mask=None):
+                    decode_bounds=None, prefix_cache=None, prefix_mask=None,
+                    compute_logits=True):
         """One decode step: (B, 1, E) embeds against the full cache (or,
         with ``prefix_cache``, against a case-shared prompt prefix plus the
         per-row suffix cache — fan-out decoding, generate.make_fanout_*)."""
         return self.llm(token_embeds, positions, mask, cache, write_index,
                         decode_bounds=decode_bounds,
-                        prefix_cache=prefix_cache, prefix_mask=prefix_mask)
+                        prefix_cache=prefix_cache, prefix_mask=prefix_mask,
+                        compute_logits=compute_logits)
 
     def lm_logits(self, hidden):
         return self.llm.lm_logits(hidden)
