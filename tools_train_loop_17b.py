@@ -201,8 +201,8 @@ def main():
 
     ce_chunk = 0 if TINY else 512
 
-    def loss_fn(wparams, batch):
-        merged = dict(frozen_flat)
+    def loss_fn(wparams, frozen, batch):
+        merged = dict(frozen)
         merged.update(wparams["train"])
         eff = apply_lora(unflatten_dict(merged, sep="/"), wparams["lora"],
                          lcfg)
@@ -215,15 +215,22 @@ def main():
 
     from functools import partial
 
+    # frozen_flat rides as a runtime ARG, not a closure capture: closing
+    # over it bakes 3.6 GB of bf16 weights into the jaxpr as constants,
+    # which the axon remote-compile tunnel must ship per compile (observed
+    # broken-pipe at exactly this size; jax warns at lowering).
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch):
+    def jitted_step(state, frozen, batch):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, frozen, batch)
         updates, opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (TrainState(step=state.step + 1, params=params,
                            opt_state=opt),
                 {"loss": loss, "token_accuracy": acc})
+
+    def train_step(state, batch):
+        return jitted_step(state, frozen_flat, batch)
 
     wparams = {"train": train_flat, "lora": lora}
     state = TrainState(step=jnp.zeros((), jnp.int32), params=wparams,
