@@ -289,3 +289,36 @@ def test_chunked_prefill_int8_cache_runs(tiny_lm):
     toks = np.asarray(mgf(model, gen, "int8", prefill_chunk=8)(
         params, emb, prompt_len, jax.random.PRNGKey(3)))
     assert toks.shape == (2, 5) and (toks >= 0).all()
+
+
+def test_int8_out_tiled_matches_plain():
+    """out_tiles (the 8B lm_head memory fix) must be a pure evaluation-
+    order change: forward outputs and grads wrt x identical to the plain
+    single-dot int8 path (same per-column scale, same contraction)."""
+    from u2tokenizer_tpu.models.llm.decoder import QDense
+
+    rng = np.random.default_rng(1)
+    in_f, out = 64, 96
+    kernel = jnp.asarray(rng.integers(-127, 128, (in_f, out)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.01, 0.1, (out,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 130, in_f)).astype(np.float32))
+    variables = {"params": {"kernel": kernel, "scale": scale}}
+    plain = QDense(out, use_bias=False, dtype=jnp.float32, quantized="int8")
+    tiled = QDense(out, use_bias=False, dtype=jnp.float32, quantized="int8",
+                   out_tiles=4)
+
+    ct = jnp.asarray(rng.normal(size=(2, 130, out)).astype(np.float32))
+    yp, vjp_p = jax.vjp(lambda xx: plain.apply(variables, xx), x)
+    yt, vjp_t = jax.vjp(lambda xx: tiled.apply(variables, xx), x)
+    (gp,), (gt,) = vjp_p(ct), vjp_t(ct)
+    # tolerance covers gemm-vs-mapped-tile fp32 reduction reassociation
+    np.testing.assert_allclose(np.asarray(yt), np.asarray(yp),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gp),
+                               rtol=1e-5, atol=1e-4)
+    # below the 128-token gate (decode regime) the tiled module must take
+    # the plain path bit-for-bit
+    x_small = x[:, :3]
+    ys = tiled.apply(variables, x_small)
+    np.testing.assert_array_equal(np.asarray(ys),
+                                  np.asarray(plain.apply(variables, x_small)))

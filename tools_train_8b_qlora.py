@@ -71,7 +71,13 @@ def main():
         cfg = U2ModelConfig.tiny()
         s = 32
     else:
-        cfg = dataclasses.replace(U2ModelConfig(), llm=LLMConfig.qwen3_8b())
+        # lm_head_tiles: the untied int8 8B head dequantizes to a 1.16 GB
+        # bf16 temp in the CE matmul — tiling it 8-way was the difference
+        # between OOM (16.97/15.75 GB) and fitting (see decoder.QDense).
+        llm = dataclasses.replace(
+            LLMConfig.qwen3_8b(),
+            lm_head_tiles=int(os.environ.get("TRAIN_LMHEAD_TILES", "8")))
+        cfg = dataclasses.replace(U2ModelConfig(), llm=llm)
         s = S
     qcfg = qlora_config(cfg, rank=16, alpha=32.0, mode=QUANT)
     model = U2CausalLM(qcfg, dtype=jnp.bfloat16, remat=True)

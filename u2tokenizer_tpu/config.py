@@ -168,6 +168,12 @@ class LLMConfig:
     # (train/lora.py apply_lora) cannot fold adapters into integer kernels.
     lora_rank: int = 0
     lora_alpha: float = 32.0
+    # Untied int8 lm_head: evaluate the vocab projection in this many
+    # out-dim tiles when >= 128 tokens flow through it (training/prefill
+    # CE). Bounds the live dequantized kernel at hidden×(vocab/tiles) —
+    # the full bf16 dequant is 1.16 GB for the 8B head and OOMed the
+    # single-chip QLoRA step. 0 = plain single-dot path (decode always is).
+    lm_head_tiles: int = 0
 
     @classmethod
     def qwen3_1_7b(cls, vocab_size: int = 151936) -> "LLMConfig":

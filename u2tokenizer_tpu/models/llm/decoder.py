@@ -182,6 +182,10 @@ class QDense(nn.Module):
     quantized: "bool | str" = False
     lora_rank: int = 0
     lora_scale: float = 1.0
+    # int8 token-regime out-dim tiling (the 8B lm_head in training): > 1
+    # bounds the live dequantized kernel at in×(features/out_tiles). See
+    # the branch comment below; 0/1 = plain single-dot path.
+    out_tiles: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -224,8 +228,37 @@ class QDense(nn.Module):
                 (in_features, self.features))
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,), jnp.float32)
-            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
-            y = y * scale.astype(self.dtype)
+            tokens = 1
+            for dim in x.shape[:-1]:
+                tokens *= dim
+            if (self.out_tiles > 1 and tokens >= 128
+                    and self.features % self.out_tiles == 0):
+                # Token-regime out-dim tiling: the plain dot below holds
+                # the dequantized in×out bf16 kernel as ONE HLO temp —
+                # 1.16 GB for the 8B lm_head, the allocation that OOMed
+                # the on-chip QLoRA step (16.97 of 15.75 GB HBM). A
+                # lax.map over out-tiles bounds the live dequant at
+                # in×(out/nt) in both the forward and the scan-transposed
+                # backward (dx accumulates per tile); numerics identical
+                # (per-column scale, same contraction). Decode keeps the
+                # plain path — the gate needs >=128 tokens.
+                tile = self.features // self.out_tiles
+                xt = x.astype(self.dtype).reshape(tokens, in_features)
+
+                def _tile(i):
+                    ks = jax.lax.dynamic_slice_in_dim(kernel, i * tile,
+                                                      tile, 1)
+                    ss = jax.lax.dynamic_slice_in_dim(scale, i * tile,
+                                                      tile, 0)
+                    return (jnp.dot(xt, ks.astype(self.dtype))
+                            * ss.astype(self.dtype))
+
+                yt = jax.lax.map(_tile, jnp.arange(self.out_tiles))
+                y = jnp.moveaxis(yt, 0, 1).reshape(*x.shape[:-1],
+                                                   self.features)
+            else:
+                y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+                y = y * scale.astype(self.dtype)
         else:
             kernel = self.param("kernel", nn.initializers.lecun_normal(),
                                 (in_features, self.features), jnp.float32)
@@ -558,6 +591,7 @@ class CausalLM(nn.Module):
                                   use_bias=self.cfg.lm_head_bias,
                                   dtype=self.dtype,
                                   quantized="int8" if q == "int4" else q,
+                                  out_tiles=self.cfg.lm_head_tiles,
                                   name="lm_head")
 
     def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
