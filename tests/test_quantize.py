@@ -322,3 +322,49 @@ def test_int8_out_tiled_matches_plain():
     ys = tiled.apply(variables, x_small)
     np.testing.assert_array_equal(np.asarray(ys),
                                   np.asarray(plain.apply(variables, x_small)))
+
+
+def test_int8_out_tiled_backward_never_stacks_dequant():
+    """The r4e on-chip re-OOM: lax.map's scan transpose saved each
+    iteration's dequantized kernel tile as a STACKED (nt, in, out/nt)
+    residual — the very in×out bf16 buffer out_tiles exists to avoid.
+    jax.checkpoint on the tile body makes the backward re-slice +
+    re-convert per tile. Guard at the jaxpr level: no float intermediate
+    anywhere in the VJP may reach the full dequantized-kernel size."""
+    from u2tokenizer_tpu.models.llm.decoder import QDense
+
+    in_f, out, nt, tokens = 256, 512, 4, 128
+    rng = np.random.default_rng(0)
+    kernel = jnp.asarray(rng.integers(-127, 128, (in_f, out)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.01, 0.1, (out,)).astype(np.float32))
+    variables = {"params": {"kernel": kernel, "scale": scale}}
+    tiled = QDense(out, use_bias=False, dtype=jnp.bfloat16,
+                   quantized="int8", out_tiles=nt)
+
+    def loss(xx):
+        return tiled.apply(variables, xx).astype(jnp.float32).sum()
+
+    x = jnp.asarray(rng.normal(size=(tokens, in_f)), jnp.bfloat16)
+    jaxpr = jax.make_jaxpr(jax.grad(loss))(x)
+
+    def _avals(jx):
+        for eqn in jx.eqns:
+            for v in eqn.outvars:
+                if hasattr(v, "aval"):
+                    yield v.aval
+            for p in eqn.params.values():
+                for sub in (p if isinstance(p, (list, tuple)) else (p,)):
+                    inner = getattr(sub, "jaxpr", sub)
+                    if hasattr(inner, "eqns"):
+                        yield from _avals(inner)
+
+    # tokens*in (xt), tokens*out (y/ct), in*(out/nt) (one live tile) are
+    # all < in_f*out at this geometry; only the full dequant (or the
+    # stacked residual, same total size) can reach it.
+    dequant_size = in_f * out
+    offenders = [a for a in _avals(jaxpr.jaxpr)
+                 if jnp.issubdtype(a.dtype, jnp.floating)
+                 and a.size >= dequant_size]
+    assert not offenders, (
+        f"full-size float dequant buffers in the VJP jaxpr: "
+        f"{[(a.shape, str(a.dtype)) for a in offenders]}")

@@ -241,7 +241,13 @@ class QDense(nn.Module):
                 # in×(out/nt) in both the forward and the scan-transposed
                 # backward (dx accumulates per tile); numerics identical
                 # (per-column scale, same contraction). Decode keeps the
-                # plain path — the gate needs >=128 tokens.
+                # plain path — the gate needs >=128 tokens. The tile body
+                # is jax.checkpoint'ed: without it the scan transpose
+                # saves each iteration's dequantized ks tile as a STACKED
+                # residual — (nt, in, out/nt) = the full in×out buffer the
+                # tiling exists to avoid (r4e on-chip re-OOM by 1.3 GB).
+                # With it, the backward re-slices + re-converts one tile
+                # at a time; only int8 kernel/scale and xt stay live.
                 tile = self.features // self.out_tiles
                 xt = x.astype(self.dtype).reshape(tokens, in_features)
 
@@ -253,7 +259,8 @@ class QDense(nn.Module):
                     return (jnp.dot(xt, ks.astype(self.dtype))
                             * ss.astype(self.dtype))
 
-                yt = jax.lax.map(_tile, jnp.arange(self.out_tiles))
+                yt = jax.lax.map(jax.checkpoint(_tile),
+                                 jnp.arange(self.out_tiles))
                 y = jnp.moveaxis(yt, 0, 1).reshape(*x.shape[:-1],
                                                    self.features)
             else:
