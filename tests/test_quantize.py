@@ -324,6 +324,43 @@ def test_int8_out_tiled_matches_plain():
                                   np.asarray(plain.apply(variables, x_small)))
 
 
+def test_int4_dequant_never_saved_for_backward():
+    """The r4g 8B OOM (508 MB over): the backward's dx needs the
+    dequantized int4 kernel, and XLA hoisted the param-only dequant out
+    of the layer remat — every decoder matmul's bf16 wk (up to 96 MB at
+    8B) stayed live as a jvp residual across fwd→bwd. The checkpointed
+    _dq_dot body must leave only its INPUTS (activations + packed int8
+    kernel + scales) as residuals; assert no float residual reaches the
+    dequantized-kernel size."""
+    from jax.ad_checkpoint import saved_residuals
+
+    from u2tokenizer_tpu.models.llm.decoder import QDense, int4_group
+
+    in_f, out, tokens = 512, 512, 128
+    assert tokens >= int4_group(in_f)  # dequant-first (training) regime
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(in_f, out)), jnp.float32)
+    from u2tokenizer_tpu.models.quantize import _quantize_kernel_int4
+
+    packed, scale = _quantize_kernel_int4(w)
+    variables = {"params": {"kernel": packed, "scale": scale}}
+    m = QDense(out, use_bias=False, dtype=jnp.bfloat16, quantized="int4")
+
+    def loss(xx):
+        return m.apply(variables, xx).astype(jnp.float32).sum()
+
+    x = jnp.asarray(rng.normal(size=(tokens, in_f)), jnp.bfloat16)
+    dequant_size = in_f * out  # tokens*in and tokens*out are 4x smaller
+    offenders = [
+        (aval.shape, str(aval.dtype), why)
+        for aval, why in saved_residuals(loss, x)
+        if hasattr(aval, "dtype") and jnp.issubdtype(aval.dtype, jnp.floating)
+        and aval.size >= dequant_size]
+    assert not offenders, (
+        f"dequantized-kernel-sized float residuals saved for backward: "
+        f"{offenders}")
+
+
 def test_int8_out_tiled_backward_never_stacks_dequant():
     """The r4e on-chip re-OOM: lax.map's scan transpose saved each
     iteration's dequantized kernel tile as a STACKED (nt, in, out/nt)

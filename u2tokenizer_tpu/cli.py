@@ -838,6 +838,51 @@ def cmd_verify_checkpoint(args):
         sys.exit(1)
 
 
+def cmd_quant_report(args):
+    """Quantization-quality gate (eval/quant_report.py): per-layer weight
+    round-trip SNR + teacher-forced logit agreement + optional greedy-decode
+    agreement between the float model and its int8/int4 serving variants.
+    This is the go/no-go artifact for flipping the serving default to int4
+    weights on a real checkpoint (BENCHMARKS.md: int4w+int4kv 313 vs the
+    int8w default's 284 reports/min/chip). The reference ships 4/8-bit
+    bitsandbytes serving with no quality gate (src/demo/online_demo.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .eval.quant_report import (forward_agreement, greedy_agreement,
+                                    layer_quant_report, synthetic_batches)
+    from .models.u2_model import U2CausalLM
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    cfg = _load_model_config(args)
+    batches = synthetic_batches(cfg, num_batches=args.num_batches,
+                                seq_extra=args.seq_extra)
+    if args.checkpoint:
+        params = _load_pretrained_params(args.checkpoint, cfg)
+    else:
+        # random-init fallback exercises the machinery end-to-end; only a
+        # real checkpoint gives a decision-grade verdict
+        model = U2CausalLM(cfg, dtype=jnp.bfloat16)
+        b = batches[0]
+        params = model.init(jax.random.PRNGKey(0), b["input_ids"],
+                            b["images"], b["question_ids"])
+    report = {"checkpoint": args.checkpoint or "random-init"}
+    for mode in args.modes.split(","):
+        weights = layer_quant_report(params, mode)
+        if not args.per_layer:
+            weights = {k: v for k, v in weights.items() if k != "layers"}
+        entry = {"weights": weights}
+        if not args.weights_only:
+            entry["forward"] = forward_agreement(cfg, params, batches, mode)
+            if args.greedy_tokens:
+                entry["greedy"] = greedy_agreement(
+                    cfg, params, batches[0], mode,
+                    max_new_tokens=args.greedy_tokens)
+        report[mode] = entry
+    print(json.dumps(report))
+
+
 def cmd_demo(args):
     """Interactive / one-shot report generation from a CT volume
     (src/demo/demo.py:29-91 CLI demo; src/demo/online_demo.py is the gradio
@@ -1286,6 +1331,29 @@ def build_parser():
                          "precision passes and drifts ~1e-2 vs the torch "
                          "CPU oracle)")
     vc.set_defaults(fn=cmd_verify_checkpoint)
+
+    qr = sub.add_parser("quant-report",
+                        help="int8/int4 serving-quality gate: per-layer "
+                             "SNR + logit/greedy agreement vs float")
+    _add_common(qr)
+    qr.add_argument("--checkpoint", default=None,
+                    help="native dir (convert-checkpoint output), HF "
+                         "safetensors dir, or pytorch_model.bin; default "
+                         "random-init at the config geometry")
+    qr.add_argument("--modes", default="int8,int4",
+                    help="comma-separated: int8, int4")
+    qr.add_argument("--num-batches", type=int, default=2)
+    qr.add_argument("--seq-extra", type=int, default=16,
+                    help="text tokens past the image block per probe batch")
+    qr.add_argument("--greedy-tokens", type=int, default=0,
+                    help="also greedy-decode n tokens with both stacks")
+    qr.add_argument("--weights-only", action="store_true",
+                    help="skip the forward comparison (no model build)")
+    qr.add_argument("--per-layer", action="store_true",
+                    help="include the per-layer SNR table")
+    qr.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="cpu (deterministic gate) or the session default")
+    qr.set_defaults(fn=cmd_quant_report)
 
     ep = sub.add_parser("eval-predictions")
     ep.add_argument("--predictions", required=True)

@@ -1,0 +1,200 @@
+"""Quantization-quality report: the validation gate for quantized serving.
+
+BENCHMARKS.md records int4 weights + int4 KV at 313 reports/min/chip vs the
+int8-weight default's 284 — the int4w config is kept NON-default "pending
+real-weight error validation". This module is that validation: given a
+checkpoint (converted native dir, HF layout, or freshly-initialized), it
+produces
+
+  * a per-layer weight round-trip report — SNR (dB) and max scaled error of
+    ``quantize_llm_weights`` → ``dequantize_llm_weights`` per decoder
+    kernel, computed one leaf at a time so an 8B tree never holds a second
+    float copy;
+  * a teacher-forced forward comparison — top-1/top-5 agreement, mean KL,
+    and max scaled logit error between the float model and its quantized
+    variant on shared multimodal batches;
+  * an optional greedy-decode agreement — first-divergence step and token
+    match fraction over n new tokens.
+
+The reference serves 4/8-bit via bitsandbytes with no quality gate at all
+(``src/demo/online_demo.py:20-269``); this is the TPU-native equivalent plus
+the missing error report. Exposed as ``cli quant-report``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.quantize import (_dequantize_tree, _quantize_tree,
+                               quantize_llm_weights, quantized_llm_config)
+
+
+def _roundtrip_kernel(key: str, val, mode: str):
+    """Quantize one named leaf exactly as the full-tree transform would
+    (lm_head / embed_tokens special-casing included) and fold it back to
+    float. Returns the reconstructed array or None if the leaf would pass
+    through unquantized."""
+    if key == "embed_tokens":
+        sub = _dequantize_tree(_quantize_tree({key: val}, mode))
+        return sub[key]
+    sub = _dequantize_tree(_quantize_tree({key: {"kernel": val}}, mode))
+    out = sub[key]["kernel"]
+    return None if jnp.issubdtype(out.dtype, jnp.integer) else out
+
+
+def _iter_kernels(node: Dict[str, Any], prefix: str = ""):
+    for key, val in sorted(node.items()):
+        path = f"{prefix}/{key}" if prefix else key
+        if isinstance(val, dict):
+            if "kernel" in val and not isinstance(val["kernel"], dict) \
+                    and getattr(val["kernel"], "ndim", 0) == 2:
+                yield path, key, val["kernel"]
+            else:
+                yield from _iter_kernels(val, path)
+        elif key == "embed_tokens" and getattr(val, "ndim", 0) == 2:
+            yield path, key, val
+
+
+def layer_quant_report(params, mode: str = "int8") -> Dict[str, Any]:
+    """Per-layer weight round-trip error for the decoder subtree.
+
+    SNR(dB) = 10·log10(Σw² / Σ(w−ŵ)²); ``max_scaled_err`` is the worst
+    |w−ŵ| normalized by that kernel's absolute max. One leaf is quantized
+    at a time — peak extra memory is a single kernel's float copy.
+    """
+    inner = params["params"]
+    tree = inner.get("llm", inner)
+    layers, snrs = {}, []
+    for path, key, kernel in _iter_kernels(tree, "llm" if "llm" in inner
+                                           else ""):
+        recon = _roundtrip_kernel(key, kernel, mode)
+        if recon is None:
+            continue
+        w = np.asarray(kernel, np.float64)
+        err = w - np.asarray(recon, np.float64)
+        p_sig = float((w * w).sum())
+        p_err = float((err * err).sum())
+        snr = 10.0 * np.log10(p_sig / p_err) if p_err > 0 else float("inf")
+        scale = max(float(np.abs(w).max()), 1e-12)
+        layers[path] = {
+            "shape": list(kernel.shape),
+            "snr_db": round(snr, 2),
+            "max_scaled_err": round(float(np.abs(err).max() / scale), 6),
+        }
+        snrs.append(snr)
+    finite = [s for s in snrs if np.isfinite(s)]
+    return {
+        "mode": mode,
+        "num_layers": len(layers),
+        "snr_db_min": round(min(finite), 2) if finite else None,
+        "snr_db_mean": round(float(np.mean(finite)), 2) if finite else None,
+        "layers": layers,
+    }
+
+
+def _forward_logits(model, params, batch):
+    logits, _, _ = model.apply(
+        params, batch["input_ids"], batch["images"], batch["question_ids"],
+        attention_mask=batch.get("attention_mask"))
+    return np.asarray(logits, np.float32)
+
+
+def forward_agreement(cfg, params, batches: List[Dict[str, Any]],
+                      mode: str = "int8",
+                      dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Teacher-forced logit agreement between the float model and its
+    ``mode``-quantized variant on shared batches (multimodal: ids + CT
+    volume + question ids). Positions are compared over the full sequence;
+    KL uses fp32 softmax of both logit sets."""
+    from ..models.u2_model import U2CausalLM
+
+    fmodel = U2CausalLM(cfg, dtype=dtype)
+    qmodel = U2CausalLM(quantized_llm_config(cfg, mode), dtype=dtype)
+    qparams = quantize_llm_weights(params, mode)
+
+    top1, top5, kls, max_errs = [], [], [], []
+    for batch in batches:
+        lf = _forward_logits(fmodel, params, batch)
+        lq = _forward_logits(qmodel, qparams, batch)
+        top1.append(np.mean(lf.argmax(-1) == lq.argmax(-1)))
+        k = min(5, lf.shape[-1])
+        tf5 = np.argsort(-lf, axis=-1)[..., :k]
+        tq1 = lq.argmax(-1)[..., None]
+        top5.append(np.mean((tf5 == tq1).any(-1)))
+        pf = jax.nn.log_softmax(jnp.asarray(lf), axis=-1)
+        pq = jax.nn.log_softmax(jnp.asarray(lq), axis=-1)
+        kls.append(float(jnp.mean(
+            jnp.sum(jnp.exp(pf) * (pf - pq), axis=-1))))
+        scale = max(1.0, float(np.abs(lf).max()))
+        max_errs.append(float(np.abs(lf - lq).max() / scale))
+    return {
+        "mode": mode,
+        "num_batches": len(batches),
+        "top1_match": round(float(np.mean(top1)), 4),
+        "float_top5_contains_q_top1": round(float(np.mean(top5)), 4),
+        "mean_kl": round(float(np.mean(kls)), 6),
+        "max_scaled_logit_err": round(float(np.max(max_errs)), 6),
+    }
+
+
+def greedy_agreement(cfg, params, batch: Dict[str, Any],
+                     mode: str = "int8", max_new_tokens: int = 32,
+                     dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Greedy-decode both stacks from the same multimodal prompt; report
+    the first step where the argmax token diverges and the match fraction.
+    Each stack feeds its OWN argmax back (true serving behavior, not
+    teacher-forced), so one early flip can cascade — first_divergence is
+    the honest number, match_fraction the color."""
+    from ..config import GenerationConfig
+    from ..models.generate import make_multimodal_generate_fn
+    from ..models.u2_model import U2CausalLM
+
+    gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    fmodel = U2CausalLM(cfg, dtype=dtype)
+    qmodel = U2CausalLM(quantized_llm_config(cfg, mode), dtype=dtype)
+    qparams = quantize_llm_weights(params, mode)
+
+    plen = jnp.asarray([int(batch["attention_mask"].sum(-1)[0])]
+                       if batch.get("attention_mask") is not None
+                       else [batch["input_ids"].shape[1]], jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    args = (batch["input_ids"][:1], batch["images"][:1],
+            batch["question_ids"][:1], plen, rng)
+    tf = np.asarray(make_multimodal_generate_fn(fmodel, gen)(params, *args))
+    tq = np.asarray(make_multimodal_generate_fn(qmodel, gen)(qparams, *args))
+    n = min(tf.shape[-1], tq.shape[-1])
+    same = tf[0, :n] == tq[0, :n]
+    div = int(np.argmin(same)) if not same.all() else -1
+    return {
+        "mode": mode,
+        "new_tokens": int(n),
+        "first_divergence": div,
+        "match_fraction": round(float(same.mean()), 4),
+    }
+
+
+def synthetic_batches(cfg, num_batches: int = 2, batch: int = 1,
+                      seq_extra: int = 16, seed: int = 0):
+    """Deterministic multimodal probe batches at the checkpoint's geometry
+    (used when no dataset is mounted; real batches give the meaningful
+    verdict — pass them through ``cli quant-report --jsonl/--base-path``)."""
+    rng = np.random.default_rng(seed)
+    d, h, w = cfg.vision.input_spatial
+    s = cfg.proj_out_num + seq_extra
+    out = []
+    for _ in range(num_batches):
+        out.append({
+            "input_ids": jnp.asarray(rng.integers(
+                0, cfg.llm.vocab_size, (batch, s)), jnp.int32),
+            "images": jnp.asarray(rng.normal(
+                size=(batch, cfg.num_chunks, d, h, w)) * 0.5, jnp.float32),
+            "question_ids": jnp.asarray(rng.integers(
+                0, cfg.llm.vocab_size, (batch, 8)), jnp.int32),
+            "attention_mask": jnp.ones((batch, s), jnp.int32),
+        })
+    return out

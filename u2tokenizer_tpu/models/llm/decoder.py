@@ -201,7 +201,6 @@ class QDense(nn.Module):
                 (ng, g // 2, self.features))
             scale = self.param("scale", nn.initializers.ones,
                                (ng, self.features), jnp.float32)
-            kernel = unpack_int4(kernel)
             xg = x.astype(self.dtype).reshape(*x.shape[:-1], ng, g)
             tokens = 1
             for dim in x.shape[:-1]:
@@ -211,17 +210,27 @@ class QDense(nn.Module):
                 # cheaper than dequantizing the kernel, and the int4→bf16
                 # convert fuses into each group's dot
                 part = jnp.einsum("...gi,gio->...go", xg,
-                                  kernel.astype(self.dtype))
+                                  unpack_int4(kernel).astype(self.dtype))
                 y = jnp.einsum("...go,go->...o", part,
                                scale.astype(self.dtype))
             else:
                 # training/prefill regime: dequantize first (kernel-sized
                 # in*out temp) and contract (g, i) in ONE dot — the partial
                 # form materializes a tokens*ng*out temp, 9.3 GB for the
-                # 8B lm_head at S=1024 (r4 on-chip OOM, 22.2 GB used)
-                wk = (kernel.astype(self.dtype)
-                      * scale.astype(self.dtype)[:, None, :])
-                y = jnp.einsum("...gi,gio->...o", xg, wk)
+                # 8B lm_head at S=1024 (r4 on-chip OOM, 22.2 GB used).
+                # jax.checkpoint: the backward's dx needs the dequantized
+                # wk, and XLA hoists this param-only computation out of
+                # the layer remat — every layer's bf16 wk (up to 96 MB
+                # per matmul at 8B) became a live jvp residual across
+                # fwd→bwd (the r4g 508 MB OOM). Checkpointing re-derives
+                # wk from the PACKED param (an argument — zero residual
+                # cost) inside the backward, one matmul at a time.
+                def _dq_dot(xq, pk, ss):
+                    wk = (unpack_int4(pk).astype(self.dtype)
+                          * ss.astype(self.dtype)[:, None, :])
+                    return jnp.einsum("...gi,gio->...o", xq, wk)
+
+                y = jax.checkpoint(_dq_dot)(xg, kernel, scale)
         elif self.quantized:
             kernel = self.param(
                 "kernel", lambda rng, shape: jnp.zeros(shape, jnp.int8),
