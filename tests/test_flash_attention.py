@@ -181,3 +181,19 @@ def test_generate_decode_bounds_consistency():
     # int8 cache quantization may flip near-ties on random weights; require
     # first-token agreement (prefill is exact in both paths)
     np.testing.assert_array_equal(toks_exact[:, 0], toks_int8[:, 0])
+
+
+def test_flash_bwd_gate_selection(monkeypatch):
+    """TPU backward selection: env forces win over the length auto-rule
+    (measured crossover — BENCHMARKS.md S=1024 vs S=4096 A/B rows)."""
+    from u2tokenizer_tpu.ops import flash_attention as fa
+
+    monkeypatch.delenv("U2_FLASH_BWD", raising=False)
+    assert not fa._flash_bwd_enabled(1024)
+    assert not fa._flash_bwd_enabled(fa._FLASH_BWD_MIN_SEQ - 1)
+    assert fa._flash_bwd_enabled(fa._FLASH_BWD_MIN_SEQ)
+    assert fa._flash_bwd_enabled(4096)
+    monkeypatch.setenv("U2_FLASH_BWD", "1")
+    assert fa._flash_bwd_enabled(64)
+    monkeypatch.setenv("U2_FLASH_BWD", "0")
+    assert not fa._flash_bwd_enabled(8192)

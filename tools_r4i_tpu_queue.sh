@@ -14,7 +14,7 @@ cd /root/repo
 ART=docs/artifacts/r4
 mkdir -p "$ART"
 
-for i in $(seq 1 480); do
+for i in $(seq 1 0); do
   grep -q "r4g2 queue done" /tmp/r4g2_queue.log && break
   sleep 30
 done
@@ -39,5 +39,16 @@ step spec_sampling_b64 3000 env SS_BATCH=64 \
 step bench_8b_b48_postfix 3000 env BENCH_MODEL=8b BENCH_WQ=int4 \
   BENCH_KV=int4 BENCH_BATCH=48 BENCH_VMB=32 BENCH_PREFILL_CHUNK=256 \
   BENCH_ALT_TOO=0 python bench.py
+
+# Batch-scaling probes the r4 memory work may newly admit:
+# 1.7B SFT at B4 (B2 measured 5153 tok/s / 45.5% MFU; does B4 keep
+# scaling or OOM on activation peaks?)
+step sft17b_b4 3000 env TRAIN_B=4 TRAIN_CE_CHUNK=256 TRAIN_STEPS=4 \
+  python tools_train_17b.py
+
+# 8B QLoRA at B2 (B1 fits with ~0.6 GB headroom after the dequant-
+# residual fixes; B2 would double tokens/s if activations fit)
+step train_8b_qlora_b2 3600 env TRAIN_B=2 TRAIN_STEPS=4 \
+  TRAIN_CE_CHUNK=256 python tools_train_8b_qlora.py
 
 echo "=== $(date) r4i queue done"

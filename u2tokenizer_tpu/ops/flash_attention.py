@@ -18,11 +18,11 @@ BlockSpec index map (q head h reads kv head h // group) — no KV repeat is
 materialized.
 
 Backward: custom VJP with a Pallas flash backward (LSE recompute pass +
-dq kernel + dk/dv kernel, all O(S·D) memory) — gated opt-in on TPU via
-``U2_FLASH_BWD=1`` until Mosaic-validated on hardware; the default TPU
-backward and the CPU path recompute attention densely in XLA (standard
-flash-attention recompute strategy). Forward-pass memory stays O(S·D)
-either way.
+dq kernel + dk/dv kernel, all O(S·D) memory). On TPU the backward is
+selected by sequence length (Pallas at S ≥ 2048, dense XLA recompute
+below — measured crossover, see ``_FLASH_BWD_MIN_SEQ``); ``U2_FLASH_BWD``
+=1/=0 forces either side. The CPU path always recomputes densely in XLA.
+Forward-pass memory stays O(S·D) either way.
 
 Measured on TPU v5e (bf16, in-jit loop timing): decoder prefill
 (4, 2048, 16h/8kv, 128) causal: 2.82 ms vs 4.12 ms XLA SDPA (1.46x);
@@ -365,13 +365,26 @@ def _flash_bwd_raw(q, k, v, lens, out, do, causal: bool, scale: float,
     return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk]
 
 
-def _flash_bwd_enabled() -> bool:
-    """Opt-in gate for the Pallas flash backward on TPU
-    (U2_FLASH_BWD=1); off until Mosaic-validated on hardware — the dense
-    XLA recompute stays the default TPU backward."""
+# Measured crossover for the Pallas backward vs XLA's fused dense
+# recompute (real v5e chip, 1.7B SFT B=1, docs/artifacts/r4/):
+#   S=1024: 0.225 s/step pallas vs 0.216 XLA  -> XLA wins (~4%)
+#   S=4096: 0.612 s/step pallas vs 0.902 XLA  -> pallas wins (1.47x)
+# The dense recompute materializes the (H, Sq, Sk) score matrix, so its
+# HBM traffic grows ~S^2 while the three-kernel flash backward stays
+# O(S*D); between the two measured points the threshold sits at 2048.
+_FLASH_BWD_MIN_SEQ = 2048
+
+
+def _flash_bwd_enabled(sq: int) -> bool:
+    """TPU backward selection: U2_FLASH_BWD=1 forces the Pallas kernels,
+    =0 forces the dense XLA recompute, unset picks by sequence length
+    (Pallas at S >= 2048 per the measured A/B above)."""
     import os
 
-    return os.environ.get("U2_FLASH_BWD", "0") == "1"
+    flag = os.environ.get("U2_FLASH_BWD")
+    if flag is not None:
+        return flag == "1"
+    return sq >= _FLASH_BWD_MIN_SEQ
 
 
 def _reference(q, k, v, lens, causal: bool, scale: float):
@@ -416,7 +429,7 @@ def _flash_bwd(causal, scale, bq, interpret, res, g):
     # pallas backward: interpret mode always (tests exercise the kernels);
     # on TPU behind the U2_FLASH_BWD opt-in, else the dense XLA recompute
     use_pallas = interpret is True or (
-        jax.default_backend() == "tpu" and _flash_bwd_enabled())
+        jax.default_backend() == "tpu" and _flash_bwd_enabled(q.shape[2]))
     if use_pallas:
         dq, dk, dv = _flash_bwd_raw(q, k, v, lens, out, g, causal, scale,
                                     bq, interpret is True)
