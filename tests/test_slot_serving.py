@@ -386,3 +386,39 @@ def test_engine_telemetry(setup):
     assert tf["emitted_tokens_total"] == 3 * MAX_NEW
     assert tf["active_slots"] == 0 and tf["queue_depth"] == 0
     assert saw_rate, "tokens_per_s never went positive while decoding"
+
+
+def test_engine_telemetry_over_http(setup):
+    """/v1/config carries the live engine telemetry (queue depth,
+    tokens/s, pending submits) for a continuous-batching server —
+    the web demo's online_demo.py-parity status readout."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from test_data import MockTokenizer
+
+    from u2tokenizer_tpu.models.slot_serving import EngineInference
+    from u2tokenizer_tpu.serve import U2Server, make_handler
+
+    cfg, model, params, gen, requests = setup
+    inf = EngineInference(model, params, MockTokenizer(), cfg,
+                          max_new_tokens=MAX_NEW, num_slots=2,
+                          prompt_buf=PROMPT_BUF, cache_dtype=jnp.float32,
+                          question_len=4)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(U2Server(inf, transform=False)))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/v1/config"
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            payload = json.loads(resp.read())
+        assert payload["concurrent"] is True
+        tele = payload["engine"]
+        assert tele["num_slots"] == 2
+        assert tele["queue_depth"] == 0 and tele["active_slots"] == 0
+        assert {"tokens_per_s", "completed_requests", "pending_submits",
+                "emitted_tokens_total"} <= set(tele)
+    finally:
+        httpd.shutdown()
