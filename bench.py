@@ -266,13 +266,22 @@ def main():
     else:
         dt, _ = time_fn(*make_plain(), "plain greedy")
         if ALT_TOO:
-            fn, script = make_spec()
-            dt_spec, steps = time_fn(fn, script,
-                                     "forced-content speculative")
-            spec_detail.update(spec_stats(steps))
-            spec_detail["speculative_reports_per_min"] = round(
-                b * 60.0 / dt_spec, 3)
-            spec_detail["speculative_seconds_per_batch"] = round(dt_spec, 3)
+            # The alt config is informational — never let it take down the
+            # recorded headline (e.g. a spec-path OOM at a batch the plain
+            # path admits).
+            try:
+                fn, script = make_spec()
+                dt_spec, steps = time_fn(fn, script,
+                                         "forced-content speculative")
+                spec_detail.update(spec_stats(steps))
+                spec_detail["speculative_reports_per_min"] = round(
+                    b * 60.0 / dt_spec, 3)
+                spec_detail["speculative_seconds_per_batch"] = round(
+                    dt_spec, 3)
+            except Exception as e:  # noqa: BLE001 — headline must survive
+                log(f"bench: alt speculative config failed ({e!r}); "
+                    "recording headline only")
+                spec_detail["speculative_error"] = repr(e)[:200]
     reports_per_min = b * 60.0 / dt
 
     print(json.dumps({
