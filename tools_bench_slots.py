@@ -8,6 +8,7 @@ Short decode (64 new tokens) so the run is bounded; 16 text requests over
 on the axon relay each host->device dispatch costs ~30-40 ms, which
 dominates; the speculative engine divides dispatch count by ~acceptance.
 """
+import json
 import time
 
 import jax
@@ -48,6 +49,7 @@ ROWS = [("plain", False, 8), ("spec-kb1", True, 1), ("spec-kb2", True, 2),
         ("spec-kb4", True, 4), ("spec-kb8", True, 8),
         ("adaptive", "auto", 8)]
 
+summary = {}
 for label, spec, kb in ROWS:
     eng2 = Engine(qmodel, params, gen, num_slots=SLOTS, prompt_buf=PROMPT,
                   cache_dtype="int8", speculative=spec, block_len=kb)
@@ -91,3 +93,23 @@ for label, spec, kb in ROWS:
           f"{dt:.1f}s, {toks} tokens -> {toks/dt:.0f} tok/s, "
           f"{steps} dispatches ({dt/steps*1e3:.0f} ms/dispatch){extra}",
           flush=True)
+    row = {"seconds": round(dt, 2), "tokens": toks,
+           "tok_per_s": round(toks / dt, 1), "dispatches": steps,
+           "ms_per_dispatch": round(dt / steps * 1e3, 1)}
+    if spec:
+        ss = eng2.spec_stats
+        row["accept_per_step"] = round(
+            ss["emitted_tokens"] / max(ss["verify_steps"], 1), 2)
+        row["final_kb"] = eng2.spec_block_len
+    summary[label] = row
+
+# one machine-readable line for the artifact dir: per-rung dispatch cost
+# c(k) is what calibrates the adaptive ladder's thresholds (BENCHMARKS.md
+# "Continuous batching"); crossover accept for rung k vs plain is
+# c(k)/c(plain) when dispatch latency dominates.
+ck = {lbl: summary[lbl]["ms_per_dispatch"] for lbl in summary}
+print(json.dumps({"metric": "slot_ladder_ms_per_dispatch",
+                  "value": ck.get("plain"), "unit": "ms",
+                  "detail": {"rows": summary,
+                             "config": {"prompt": PROMPT, "max_new": MAX_NEW,
+                                        "slots": SLOTS, "nreq": NREQ}}}))
