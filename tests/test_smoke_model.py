@@ -116,3 +116,42 @@ def test_generate_single_token(tiny_model):
     logits, _, _ = model.apply(params, input_ids, images, question_ids)
     assert int(toks[0, 0]) == int(jnp.argmax(logits[0, 23]))
     assert int(toks[1, 0]) == int(jnp.argmax(logits[1, 19]))
+
+
+def test_decode_chunk_matches_single_program(tiny_model):
+    """decode_chunk splits the decode scan into host-driven programs to
+    bound single-program wall clock (the axon worker dies ≳60 s); the
+    token stream must be bit-identical to the one-program path — same rng
+    split sequence, same cache slots — for greedy AND sampled, and for
+    chunk sizes that do and do not divide max_new_tokens-1."""
+    cfg, model, params, images, input_ids, question_ids = tiny_model
+    prompt_len = jnp.array([24, 20], jnp.int32)
+    for do_sample in (False, True):
+        gen = GenerationConfig(max_new_tokens=9, do_sample=do_sample,
+                               top_p=0.9, temperature=0.7,
+                               eos_token_id=-2, pad_token_id=0)
+        ref_fn = make_multimodal_generate_fn(
+            model, gen, cache_dtype=jnp.float32, jit=False)
+        ref = np.asarray(ref_fn(params, input_ids, images, question_ids,
+                                prompt_len, jax.random.PRNGKey(3)))
+        for chunk in (1, 3, 4, 64):
+            fn = make_multimodal_generate_fn(
+                model, gen, cache_dtype=jnp.float32, decode_chunk=chunk)
+            got = np.asarray(fn(params, input_ids, images, question_ids,
+                                prompt_len, jax.random.PRNGKey(3)))
+            np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_chunk_single_token(tiny_model):
+    """max_new_tokens=1 with decode_chunk: zero decode chunks dispatch."""
+    cfg, model, params, images, input_ids, question_ids = tiny_model
+    gen = GenerationConfig(max_new_tokens=1, do_sample=False,
+                           eos_token_id=-2, pad_token_id=0)
+    ref_fn = make_multimodal_generate_fn(model, gen, cache_dtype=jnp.float32,
+                                         jit=False)
+    fn = make_multimodal_generate_fn(model, gen, cache_dtype=jnp.float32,
+                                     decode_chunk=8)
+    args = (params, input_ids, images, question_ids,
+            jnp.array([24, 20], jnp.int32), jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(fn(*args)),
+                                  np.asarray(ref_fn(*args)))

@@ -100,6 +100,7 @@ def make_generate_fn(
     cache_dtype=jnp.bfloat16,
     prefill_chunk: Optional[int] = None,
     shared_prefix: Optional[tuple] = None,
+    decode_chunk: Optional[int] = None,
 ) -> Callable:
     """Build a jittable generate(params, inputs_embeds, prompt_len, rng).
 
@@ -126,13 +127,29 @@ def make_generate_fn(
         runs two-phase (prefix once per group, per-row continuation — see
         shared_prefix_prefill). Decode is unchanged. Mutually exclusive
         with prefill_chunk; requires split < prompt_len for every row.
+      decode_chunk: when set, the decode loop runs as a HOST-driven
+        sequence of jitted programs of at most ``decode_chunk`` steps each
+        (cache/state stay on device; the cache buffer is donated between
+        dispatches so memory does not double). Token stream is bit-
+        identical to the single-program path (same rng split sequence).
+        This bounds the single-program wall clock: the axon TPU worker
+        reproducibly dies when one program runs ≳60 s (measured: a 50 s
+        B64 sampled decode survives, a ~66 s one kills the worker —
+        BENCHMARKS.md spec-sampling section), so long-T/large-B offline
+        jobs set decode_chunk to stay under it. Costs one ~30-40 ms relay
+        dispatch per chunk. The returned callable is host-level — do NOT
+        wrap it in jax.jit (it jits its stages internally).
 
     Returns:
       (B, max_new_tokens) int32 generated ids, pad-filled after EOS.
     """
     llm_cfg = model.cfg.llm if hasattr(model.cfg, "llm") else model.cfg
 
-    def generate(params, inputs_embeds, prompt_len, rng):
+    def prefill_stage(params, inputs_embeds, prompt_len, rng):
+        """Prompt prefill through the first sampled token.
+
+        Returns (cache, tok0, done0, rng) — the decode loop's carry.
+        """
         b, s, _ = inputs_embeds.shape
         total = s + gen.max_new_tokens
         cache = KVCache.create(llm_cfg, b, total, cache_dtype)
@@ -186,7 +203,17 @@ def make_generate_fn(
         tok0 = sample(sub, last, do_sample=gen.do_sample,
                       temperature=gen.temperature, top_p=gen.top_p)
         done0 = tok0 == gen.eos_token_id
+        return cache, tok0, done0, rng
 
+    def decode_steps(params, cache, tok0, done0, rng, prompt_len, idx):
+        """Scan ``idx`` (a contiguous int32 range of decode-step indices)
+        from the given carry; returns the carry and the (B, len(idx))
+        emitted tokens. Step i embeds the previous token, writes its KV at
+        slot s+i (s recovered statically from the cache width), and emits
+        token i+1 at RoPE position prompt_len+i."""
+        b = tok0.shape[0]
+        total = cache.k[0].shape[2]
+        s = total - gen.max_new_tokens
         kv_pos = jnp.arange(total, dtype=jnp.int32)
 
         def step(carry, i):
@@ -217,13 +244,51 @@ def make_generate_fn(
             done = done | (nxt == gen.eos_token_id)
             return (cache, nxt, done, rng), nxt
 
-        (cache, _, _, _), rest = jax.lax.scan(
-            step, (cache, tok0, done0, rng),
-            jnp.arange(gen.max_new_tokens - 1, dtype=jnp.int32))
-        tokens = jnp.concatenate([tok0[:, None], rest.T], axis=1)
-        return tokens
+        (cache, tok, done, rng), rest = jax.lax.scan(
+            step, (cache, tok0, done0, rng), idx)
+        return cache, tok, done, rng, rest.T
 
-    return generate
+    def generate(params, inputs_embeds, prompt_len, rng):
+        cache, tok0, done0, rng = prefill_stage(
+            params, inputs_embeds, prompt_len, rng)
+        _, _, _, _, rest = decode_steps(
+            params, cache, tok0, done0, rng, prompt_len,
+            jnp.arange(gen.max_new_tokens - 1, dtype=jnp.int32))
+        return jnp.concatenate([tok0[:, None], rest], axis=1)
+
+    if decode_chunk is None:
+        return generate
+
+    # --- host-driven chunked decode: same stages, separate programs ---
+    prefill_jit = jax.jit(prefill_stage)
+    chunk_jits: dict = {}
+
+    def chunk_fn(n_steps: int):
+        if n_steps not in chunk_jits:
+            def body(params, cache, tok, done, rng, prompt_len, start):
+                return decode_steps(
+                    params, cache, tok, done, rng, prompt_len,
+                    start + jnp.arange(n_steps, dtype=jnp.int32))
+            # donate the cache so the in-place KV update does not hold
+            # two copies across the dispatch boundary
+            chunk_jits[n_steps] = jax.jit(body, donate_argnums=(1,))
+        return chunk_jits[n_steps]
+
+    def generate_chunked(params, inputs_embeds, prompt_len, rng):
+        prompt_len = jnp.asarray(prompt_len, jnp.int32)
+        cache, tok, done, rng = prefill_jit(
+            params, inputs_embeds, prompt_len, rng)
+        parts = [tok[:, None]]
+        i, t1 = 0, gen.max_new_tokens - 1
+        while i < t1:
+            n = min(decode_chunk, t1 - i)
+            cache, tok, done, rng, rest = chunk_fn(n)(
+                params, cache, tok, done, rng, prompt_len, jnp.int32(i))
+            parts.append(rest)
+            i += n
+        return jnp.concatenate(parts, axis=1)
+
+    return generate_chunked
 
 
 def make_fanout_generate_fn(
@@ -433,6 +498,7 @@ def make_multimodal_generate_fn(
     jit: bool = True,
     vision_microbatch: int = 128,
     prefill_chunk: Optional[int] = None,
+    decode_chunk: Optional[int] = None,
 ) -> Callable:
     """generate(params, input_ids, images, question_ids, prompt_len, rng):
     vision encode + splice + prefill + decode, end-to-end jitted.
@@ -441,9 +507,27 @@ def make_multimodal_generate_fn(
     vision_input=None branch of the reference generate, u2qwen3.py:125-126).
     ``vision_microbatch`` bounds the ViT's transient memory at large serving
     batches (see _microbatched_embeds); ``prefill_chunk`` bounds the
-    prefill activation peak (see make_generate_fn).
+    prefill activation peak; ``decode_chunk`` bounds the single-program
+    wall clock by splitting the decode into host-driven chunks (see
+    make_generate_fn — with it set the returned callable is host-level
+    and jits its stages internally, so ``jit`` is ignored).
     """
-    gen_fn = make_generate_fn(model, gen, cache_dtype, prefill_chunk)
+    gen_fn = make_generate_fn(model, gen, cache_dtype, prefill_chunk,
+                              decode_chunk=decode_chunk)
+
+    if decode_chunk is not None:
+        # vision+splice fused into one program; gen_fn drives prefill and
+        # the decode chunks as its own programs
+        embeds_jit = jax.jit(functools.partial(
+            _microbatched_embeds, model,
+            vision_microbatch=vision_microbatch))
+
+        def generate_chunked(params, input_ids, images, question_ids,
+                             prompt_len, rng):
+            embeds = embeds_jit(params, input_ids, images, question_ids)
+            return gen_fn(params, embeds, prompt_len, rng)
+
+        return generate_chunked
 
     def generate(params, input_ids, images, question_ids, prompt_len, rng):
         embeds = _microbatched_embeds(model, params, input_ids, images,
