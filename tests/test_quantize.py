@@ -332,7 +332,10 @@ def test_int4_dequant_never_saved_for_backward():
     _dq_dot body must leave only its INPUTS (activations + packed int8
     kernel + scales) as residuals; assert no float residual reaches the
     dequantized-kernel size."""
-    from jax.ad_checkpoint import saved_residuals
+    try:  # public location through jax 0.4.x
+        from jax.ad_checkpoint import saved_residuals
+    except ImportError:  # moved in jax 0.9 (only print_saved_residuals stayed)
+        from jax._src.ad_checkpoint import saved_residuals
 
     from u2tokenizer_tpu.models.llm.decoder import QDense, int4_group
 

@@ -93,9 +93,23 @@ def report():
         print(json.dumps({"error": f"missing measurements: {sorted(missing)}",
                           "state": raw}))
         sys.exit(1)
+    # legacy state files (pre-r4) lack per-leg _T keys; falling back to the
+    # reporting process's env constants can mislabel legs measured at a
+    # different token count — surface that in the report (ADVICE r4).
+    warnings = [f"{stem}_T missing from state: assuming the current "
+                f"SS_TOKENS/SS_SHORT env values"
+                for stem in ("plain_full", "plain_short", spec_src,
+                             "forced_full")
+                if f"{stem}_T" not in r and stem in r]
     t_plain_full = r.get("plain_full_T", T)
     t_plain_short = r.get("plain_short_T", SHORT)
-    t_spec_full = r.get(f"{spec_src}_T", T)
+    if t_plain_full == t_plain_short:
+        print(json.dumps({
+            "error": "plain legs recorded at the same token count "
+                     f"({t_plain_full}): tau_plain undefined — re-measure "
+                     "with distinct SS_TOKENS/SS_SHORT",
+            "state": raw}))
+        sys.exit(1)
     tau_plain = ((r["plain_full"] - r["plain_short"])
                  / (t_plain_full - t_plain_short))
     steps_delta = r[f"{spec_src}_steps"] - r["spec_short_steps"]
@@ -106,9 +120,11 @@ def report():
         accept_measured = (r.get("spec_full_T", T)
                            / max(r["spec_full_steps"], 1))
     forced = {}
-    if "forced_full" in r:
+    # acceptance/speedup need the measured verify-step count; without it
+    # the fields would be fabricated (ADVICE r4) — omit them instead.
+    if "forced_full" in r and "forced_full_steps" in r:
         t_forced = r.get("forced_full_T", T)
-        facc = t_forced / max(r.get("forced_full_steps", t_forced), 1)
+        facc = t_forced / max(r["forced_full_steps"], 1)
         # compare at matched token counts: plain cost is content-
         # independent and linear in steps past the shared overhead
         plain_at_forced_T = (r["plain_short"]
@@ -140,6 +156,7 @@ def report():
             "tau_plain_ms_per_token": round(tau_plain * 1000, 3),
             "tau_spec_ms_per_verify_step": round(tau_spec * 1000, 3),
             "tau_spec_source": spec_src,
+            **({"warnings": warnings} if warnings else {}),
             "plain_s_per_batch": round(r["plain_full"], 2),
             **rand,
             "note": "spec sampling beats plain whenever content acceptance "

@@ -515,6 +515,13 @@ def make_multimodal_generate_fn(
     gen_fn = make_generate_fn(model, gen, cache_dtype, prefill_chunk,
                               decode_chunk=decode_chunk)
 
+    if decode_chunk is not None and not jit:
+        import warnings
+
+        warnings.warn(
+            "make_multimodal_generate_fn: decode_chunk returns a host-level "
+            "callable whose stages are jitted internally — jit=False has no "
+            "pure-eager effect and is ignored", stacklevel=2)
     if decode_chunk is not None:
         # vision+splice fused into one program; gen_fn drives prefill and
         # the decode chunks as its own programs
