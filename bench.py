@@ -116,6 +116,15 @@ def main():
         from u2tokenizer_tpu.config import LLMConfig
         import dataclasses
         cfg = dataclasses.replace(cfg, llm=LLMConfig.qwen3_8b())
+    # BENCH_CKPT: real-weights day (docs/REALWEIGHTS_RUNBOOK.md) — point
+    # at a convert-checkpoint output dir; its u2_config.json overrides the
+    # geometry and the msgpack params replace the random init.
+    ckpt_dir = __import__("os").environ.get("BENCH_CKPT")
+    if ckpt_dir:
+        import json as _json
+        import os as _os
+        cfg = U2ModelConfig.from_dict(_json.load(
+            open(_os.path.join(ckpt_dir, "u2_config.json"))))
     model = U2CausalLM(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
 
@@ -131,7 +140,26 @@ def main():
     from u2tokenizer_tpu.models.quantize import (
         cast_for_inference, quantize_llm_weights, quantized_llm_config)
 
-    if MODEL == "8b" or WQ == "int4":
+    if ckpt_dir:
+        # converted real weights: load, cast, quantize. int4 uses packed
+        # int8 storage (models/quantize._quantize_kernel_int4), so unlike
+        # the structural branch below the quantized tree CAN cross jit
+        # boundaries on the relay.
+        import os as _os
+        from flax import serialization
+        with open(_os.path.join(ckpt_dir, "u2_params.msgpack"), "rb") as f:
+            params = serialization.msgpack_restore(f.read())
+        params = jax.device_put(params)
+        params = jax.jit(cast_for_inference, donate_argnums=0)(params)
+        if WQ in ("int8", "int4"):
+            params = jax.jit(lambda p: quantize_llm_weights(p, WQ),
+                             donate_argnums=0)(params)
+            model = U2CausalLM(quantized_llm_config(cfg, WQ),
+                               dtype=jnp.bfloat16)
+        np.asarray(jax.tree_util.tree_leaves(params)[0])
+        log(f"bench: converted checkpoint loaded from {ckpt_dir} "
+            f"in {time.time() - t0:.1f}s")
+    elif MODEL == "8b" or WQ == "int4":
         # Structural quantized params (no init forward): the 8B fp32 init
         # (32 GB) cannot materialize on one 16 GB chip, and the relay
         # cannot transfer S4 (int4) arrays across jit boundaries — so build
@@ -176,7 +204,9 @@ def main():
                    else _jnp.bfloat16)
 
     def wrap_int4(fn):
-        if WQ != "int4":
+        if WQ != "int4" or ckpt_dir:
+            # real converted int4 params are packed-int8 storage and pass
+            # through the jit boundary like any other tree
             return jax.jit(fn)
 
         # The int4 tree is materialized ON DEVICE inside the generate jit

@@ -114,3 +114,40 @@ def test_cli_quant_report_tiny(capsys):
     assert out["int8"]["weights"]["num_layers"] > 0
     assert "layers" in out["int8"]["weights"]
     assert 0.0 <= out["int8"]["forward"]["top1_match"] <= 1.0
+
+
+def test_decide_thresholds():
+    """decide() applies DECISION_THRESHOLDS per mode: a passing int4 entry
+    flips pass=True; any single failing check flips pass=False with the
+    failing check identified; weights-only entries give pass=None; the
+    rehearsal flag marks the verdict non-decision-grade."""
+    from u2tokenizer_tpu.eval.quant_report import decide
+
+    good = {
+        "weights": {"snr_db_min": 22.0},
+        "forward": {"top1_match": 0.99, "mean_kl": 0.002},
+        "greedy": {"match_fraction": 0.97},
+    }
+    d = decide(good, "int4")
+    assert d["pass"] is True and d["decision_grade"] is True
+    assert set(d["checks"]) == {"snr_db_min", "top1_match", "mean_kl",
+                                "greedy_match_fraction"}
+
+    bad = dict(good, forward={"top1_match": 0.99, "mean_kl": 0.05})
+    d = decide(bad, "int4")
+    assert d["pass"] is False
+    assert d["checks"]["mean_kl"]["ok"] is False
+    assert d["checks"]["top1_match"]["ok"] is True
+
+    # int8 sanity gate is stricter
+    assert decide(good, "int8")["pass"] is False  # 22 dB < 30 dB floor
+
+    weights_only = {"weights": {"snr_db_min": 40.0}}
+    d = decide(weights_only, "int8")
+    assert d["pass"] is True  # the one evaluable check passed
+    d = decide({"weights": {}}, "int8")
+    assert d["pass"] is None  # nothing evaluable
+
+    d = decide(good, "int4", decision_grade=False)
+    assert d["pass"] is True and d["decision_grade"] is False
+    assert "note" in d

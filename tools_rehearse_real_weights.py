@@ -123,6 +123,37 @@ def stage_verify():
     _finish("verify", t0, json.loads(out))
 
 
+def stage_quant():
+    """Quantization-quality gate on the converted checkpoint (r4 VERDICT
+    next #5): cli quant-report at full 151936-vocab geometry, int8 + int4,
+    including the greedy leg — the go/no-go machinery that flips the
+    serving default to int4 weights on real-weights day. On the fake
+    checkpoint the verdict is flagged non-decision-grade (--rehearsal);
+    set REH_DECISION_GRADE=1 when REH_CKPT points at real weights."""
+    t0 = time.time()
+    argv = ["quant-report", "--checkpoint", OUT, "--modes", "int8,int4",
+            "--greedy-tokens", "4" if TINY else "32",
+            "--platform", "cpu" if TINY else "default"]
+    if TINY:
+        argv += ["--tiny"]
+    if os.environ.get("REH_DECISION_GRADE") != "1":
+        argv += ["--rehearsal"]
+    out = json.loads(_run_cli(argv))
+    summary = {}
+    for mode in ("int8", "int4"):
+        if mode in out:
+            e = out[mode]
+            summary[mode] = {
+                "snr_db_min": e["weights"].get("snr_db_min"),
+                "top1_match": (e.get("forward") or {}).get("top1_match"),
+                "mean_kl": (e.get("forward") or {}).get("mean_kl"),
+                "greedy_match": (e.get("greedy") or {}).get(
+                    "match_fraction"),
+                "decision": e.get("decision"),
+            }
+    _finish("quant", t0, summary)
+
+
 def stage_serve():
     import jax
     import jax.numpy as jnp
@@ -149,10 +180,12 @@ def stage_serve():
     with open(os.path.join(OUT, "u2_params.msgpack"), "rb") as f:
         params = serialization.msgpack_restore(f.read())
     log(f"serve: converted params loaded in {time.time() - t0:.1f}s")
+    wq = os.environ.get("REH_WQ", "int8")  # int8 | int4 serving weights
     params = jax.device_put(params)
     params = jax.jit(cast_for_inference, donate_argnums=0)(params)
-    params = jax.jit(quantize_llm_weights, donate_argnums=0)(params)
-    model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
+    params = jax.jit(lambda p: quantize_llm_weights(p, wq),
+                     donate_argnums=0)(params)
+    model = U2CausalLM(quantized_llm_config(cfg, wq), dtype=jnp.bfloat16)
     b, s, new = (2, 16, 4) if TINY else (4, 256, 32)
     d, h, w = cfg.vision.input_spatial
     gen_fn = jax.jit(make_multimodal_generate_fn(
@@ -165,8 +198,9 @@ def stage_serve():
                   jnp.ones((b, 16), jnp.int32),
                   jnp.full((b,), s, jnp.int32), jax.random.PRNGKey(2))
     toks = np.asarray(toks)
-    _finish("serve", t0, {"batch": b, "new_tokens": int(toks.shape[-1]),
-                          "device": str(jax.devices()[0])})
+    key = "serve" if wq == "int8" else f"serve_{wq}"
+    _finish(key, t0, {"batch": b, "new_tokens": int(toks.shape[-1]),
+                      "weights": wq, "device": str(jax.devices()[0])})
 
 
 def report():
@@ -176,8 +210,8 @@ def report():
         print(json.dumps({"error": f"missing stages: {sorted(missing)}",
                           "state": state}))
         sys.exit(1)
-    total = sum(state[s]["wall_s"] for s in
-                ("emit", "convert", "verify", "serve"))
+    total = sum(v["wall_s"] for v in state.values()
+                if isinstance(v, dict) and "wall_s" in v)
     print(json.dumps({
         "metric": "realweights_rehearsal_wall_s",
         "value": round(total, 1),
@@ -199,6 +233,8 @@ def main():
         stage_convert()
     elif STAGE == "verify":
         stage_verify()
+    elif STAGE == "quant":
+        stage_quant()
     elif STAGE == "serve":
         stage_serve()
     else:

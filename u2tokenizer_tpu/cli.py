@@ -868,6 +868,11 @@ def cmd_quant_report(args):
         params = model.init(jax.random.PRNGKey(0), b["input_ids"],
                             b["images"], b["question_ids"])
     report = {"checkpoint": args.checkpoint or "random-init"}
+    from .eval.quant_report import decide
+
+    # a real checkpoint's verdict can flip the serving default; random-init
+    # (or an explicit flag for fake/rehearsal checkpoints) is machinery-only
+    decision_grade = bool(args.checkpoint) and not args.rehearsal
     for mode in args.modes.split(","):
         weights = layer_quant_report(params, mode)
         if not args.per_layer:
@@ -879,6 +884,8 @@ def cmd_quant_report(args):
                 entry["greedy"] = greedy_agreement(
                     cfg, params, batches[0], mode,
                     max_new_tokens=args.greedy_tokens)
+        entry["decision"] = decide(entry, mode,
+                                   decision_grade=decision_grade)
         report[mode] = entry
     print(json.dumps(report))
 
@@ -1353,6 +1360,10 @@ def build_parser():
                     help="include the per-layer SNR table")
     qr.add_argument("--platform", default="cpu", choices=["cpu", "default"],
                     help="cpu (deterministic gate) or the session default")
+    qr.add_argument("--rehearsal", action="store_true",
+                    help="mark the checkpoint as fake/synthetic: the "
+                         "go/no-go decision is computed but flagged "
+                         "non-decision-grade")
     qr.set_defaults(fn=cmd_quant_report)
 
     ep = sub.add_parser("eval-predictions")

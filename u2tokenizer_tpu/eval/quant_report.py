@@ -198,3 +198,62 @@ def synthetic_batches(cfg, num_batches: int = 2, batch: int = 1,
             "attention_mask": jnp.ones((batch, s), jnp.int32),
         })
     return out
+
+
+# ---------------------------------------------------------------------------
+# go/no-go decision (REALWEIGHTS_RUNBOOK.md §2b — r4 VERDICT next #5)
+# ---------------------------------------------------------------------------
+
+# Numeric thresholds for the serving-precision decision. int8 is the sanity
+# gate: per-channel symmetric int8 should be essentially transparent on a
+# healthy conversion — a failure means investigate the CONVERSION, not the
+# quantizer. int4 (group-128) is the flip-to-default gate: pass -> the bench
+# and serving defaults flip to int4 weights (~+10% reports/min/chip,
+# BENCHMARKS.md int4w rows). SNR floors reflect the measured round-trip
+# envelope (int8 per-channel ~35-48 dB, int4 group-128 ~20-26 dB on
+# gaussian-ish kernels); agreement thresholds are the runbook's rule of
+# thumb made exact.
+DECISION_THRESHOLDS: Dict[str, Dict[str, float]] = {
+    "int8": {"snr_db_min": 30.0, "top1_match_min": 0.99,
+             "mean_kl_max": 1e-3, "greedy_match_min": 0.99},
+    "int4": {"snr_db_min": 18.0, "top1_match_min": 0.97,
+             "mean_kl_max": 1e-2, "greedy_match_min": 0.95},
+}
+
+
+def decide(entry: Dict[str, Any], mode: str,
+           decision_grade: bool = True) -> Dict[str, Any]:
+    """Apply DECISION_THRESHOLDS to one quant-report mode entry.
+
+    Returns {"pass": bool|None, "checks": {...}, "decision_grade": bool}.
+    ``pass`` is None when no check could be evaluated (weights-only run
+    with no forward/greedy sections). ``decision_grade=False`` marks runs
+    on synthetic/random weights: the machinery is exercised but only a
+    real checkpoint's verdict may flip a default."""
+    th = DECISION_THRESHOLDS.get(mode)
+    if th is None:
+        return {"pass": None, "checks": {},
+                "note": f"no thresholds defined for mode {mode!r}"}
+    checks: Dict[str, Any] = {}
+
+    def check(name, value, bound, larger_is_better):
+        if value is None:
+            return
+        ok = value >= bound if larger_is_better else value <= bound
+        checks[name] = {"value": value, "threshold": bound,
+                        "ok": bool(ok)}
+
+    w = entry.get("weights") or {}
+    check("snr_db_min", w.get("snr_db_min"), th["snr_db_min"], True)
+    f = entry.get("forward") or {}
+    check("top1_match", f.get("top1_match"), th["top1_match_min"], True)
+    check("mean_kl", f.get("mean_kl"), th["mean_kl_max"], False)
+    g = entry.get("greedy") or {}
+    check("greedy_match_fraction", g.get("match_fraction"),
+          th["greedy_match_min"], True)
+    ok = (all(c["ok"] for c in checks.values()) if checks else None)
+    out = {"pass": ok, "checks": checks, "decision_grade": decision_grade}
+    if not decision_grade:
+        out["note"] = ("random/synthetic weights: thresholds exercised but "
+                       "NOT decision-grade — re-run on a real checkpoint")
+    return out
