@@ -34,6 +34,22 @@ if os.environ.get("U2_TEST_NO_COMPILE_CACHE") != "1":
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Fast-tier policy (r4 VERDICT next #2): the fast tier is an explicit
+    ALLOWLIST. Round 4 marked tests slow one by one and the "not slow"
+    tier still could not finish inside its own budget — on this
+    single-core host any test that jits a model costs seconds, so the
+    only tier that stays bounded as tests are added is opt-IN. Every test
+    without an explicit ``fast`` marker is treated as slow; mark pure-host
+    tests (parsers, metrics, transforms, data plumbing) ``fast`` — budget
+    target: `pytest -m "not slow"` completes < 120 s cold.
+    """
+    for item in items:
+        if (item.get_closest_marker("slow") is None
+                and item.get_closest_marker("fast") is None):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -12,6 +13,10 @@ from u2tokenizer_tpu.parallel.collectives import (
     reduce_dict,
 )
 
+
+
+# pure-host fast tier (tests/conftest.py allowlist policy)
+pytestmark = pytest.mark.fast
 
 def _mesh():
     return Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))

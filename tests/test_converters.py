@@ -7,6 +7,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from u2tokenizer_tpu.data.converters import (
     amos_mm_extract_qa, amos_mm_report_choice_questions, amos_mm_reports,
@@ -14,6 +15,10 @@ from u2tokenizer_tpu.data.converters import (
     m3d_refseg_convert, rewrite_jsonl, thinking_synthesis_jsonl,
     translate_jsonl)
 
+
+
+# pure-host fast tier (tests/conftest.py allowlist policy)
+pytestmark = pytest.mark.fast
 
 def _load(path):
     with open(path) as f:

@@ -27,6 +27,10 @@ from u2tokenizer_tpu.utils.mock_tokenizer import MockTokenizer  # noqa: F401
 # other test modules)
 
 
+
+# pure-host fast tier (tests/conftest.py allowlist policy)
+pytestmark = pytest.mark.fast
+
 @pytest.fixture()
 def nifti_volume(tmp_path):
     rng = np.random.default_rng(0)

@@ -11,6 +11,10 @@ from test_data import MockTokenizer
 from u2tokenizer_tpu.utils.errors import is_transient, record, run_with_restarts
 
 
+
+# pure-host fast tier (tests/conftest.py allowlist policy)
+pytestmark = pytest.mark.fast
+
 def test_record_writes_report(tmp_path):
     @record(error_dir=str(tmp_path))
     def boom():

@@ -21,6 +21,10 @@ from u2tokenizer_tpu.models.generate import make_multimodal_generate_fn
 from u2tokenizer_tpu.models.u2_model import U2CausalLM
 
 
+
+# pure-host fast tier (tests/conftest.py allowlist policy)
+pytestmark = pytest.mark.fast
+
 class TinyDataset:
     def __init__(self, cfg, n=3, tok=None):
         self.cfg = cfg
@@ -72,6 +76,7 @@ def tiny_generator():
                                     eos_id=tok.eos_token_id)
 
 
+@pytest.mark.slow  # jits the tiny model end-to-end (11 s setup / 4 s measured)
 def test_evaluate_mrg(tiny_generator):
     cfg, ds, gen = tiny_generator
     scorer = GreenScorer(
@@ -139,6 +144,7 @@ def test_bert_score_fallback_properties():
     assert f1 is not None and len(f1) == 2 and f1[0] > f1[1]
 
 
+@pytest.mark.slow  # jits the tiny model end-to-end (11 s setup / 4 s measured)
 def test_evaluate_predictions_driver(tmp_path):
     """External predictions jsonl -> full battery + per-part breakdown
     (replaces evalscipt comparative drivers)."""

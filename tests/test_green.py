@@ -81,6 +81,10 @@ Nothing matches.
 """
 
 
+
+# pure-host fast tier (tests/conftest.py allowlist policy)
+pytestmark = pytest.mark.fast
+
 def test_parse_letter_format():
     total, subs = parse_error_counts(RESPONSE_LETTERS, CATEGORIES[0])
     assert subs == [2, 1, 0, 0, 0, 0]
@@ -131,6 +135,7 @@ def test_prompt_contains_reports_and_format():
     assert "w299" in p2 and "w300" not in p2
 
 
+@pytest.mark.slow  # jits a judge decode loop (155 s / 4 s measured)
 def test_scorer_end_to_end_with_stub_judge():
     responses = [RESPONSE_LETTERS, RESPONSE_NO_ERRORS, RESPONSE_NO_MATCH]
     scorer = GreenScorer(lambda prompts: responses[: len(prompts)])
@@ -141,6 +146,7 @@ def test_scorer_end_to_end_with_stub_judge():
     assert len(result.rows) == 3
 
 
+@pytest.mark.slow  # jits a judge decode loop (155 s / 4 s measured)
 def test_jax_judge_runs():
     import jax
     import jax.numpy as jnp

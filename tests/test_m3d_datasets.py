@@ -28,6 +28,10 @@ from u2tokenizer_tpu.utils.box import (
 )
 
 
+
+# pure-host fast tier (tests/conftest.py allowlist policy)
+pytestmark = pytest.mark.fast
+
 def test_mask_to_box_roundtrip():
     mask = np.zeros((10, 20, 20))
     mask[2:5, 4:10, 6:18] = 1

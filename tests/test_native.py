@@ -8,8 +8,9 @@ from u2tokenizer_tpu import native
 from u2tokenizer_tpu.data.nifti import read_nifti, write_nifti
 from u2tokenizer_tpu.data.transforms import U2VolumeTransform
 
-pytestmark = pytest.mark.skipif(not native.native_available(),
-                                reason="native library not built")
+pytestmark = [pytest.mark.skipif(not native.native_available(),
+                                 reason="native library not built"),
+              pytest.mark.fast]  # pure-host (C++ loader) tier
 
 
 @pytest.fixture()
