@@ -172,13 +172,43 @@ def test_sampled_nucleus_cascade_sharded():
 
 
 @pytest.mark.parametrize("n", [4, 8])
-def test_dryrun_multichip_sizes(n):
+def test_dryrun_multichip_sizes(n, monkeypatch):
     import sys
 
     sys.path.insert(0, ".")
     import __graft_entry__ as g
 
+    # CI keeps the tiny execs + serving gate; the flagship-geometry
+    # analytic/AOT legs are exercised by the dedicated test below and by
+    # the driver gate itself (minutes of eval_shape/compile at 8B shapes)
+    monkeypatch.setenv("U2_DRYRUN_FLAGSHIP", "0")
     g.dryrun_multichip(n)
+
+
+def test_flagship_analytic_gate_17b():
+    """The driver gate's full-depth budget assertion rests on the analytic
+    per-device resident accounting (shapes × NamedShardings). Guard the
+    1.7B-SFT figure: it must stay within the 16 GB budget AND near the
+    value XLA confirmed on-chip-geometry compiles (3.95 GB/device at the
+    (1,4,2) mesh, r4/r5 gate logs) — a sharding-rule regression that
+    replicates params or optimizer state moves it immediately."""
+    import io
+    import sys as _sys
+
+    _sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    buf = io.StringIO()
+    old = _sys.stdout
+    _sys.stdout = buf
+    try:
+        g._flagship_gate("a", 8, jax.devices()[:8], do_compile=False)
+    finally:
+        _sys.stdout = old
+    line = buf.getvalue()
+    assert "flagship_resident 1.7b-sft" in line, line
+    gb = float(line.split("per_device_resident_gb=")[1].split()[0])
+    assert 3.0 < gb < 5.0, line  # 3.95 measured; drift = rule change
 
 
 def test_no_involuntary_rematerialization(capfd):
