@@ -398,7 +398,24 @@ def cmd_generate(args):
         top_p=args.top_p, eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id or 0)
     fan_fn = None
-    if getattr(args, "speculative", False):
+    # speculative default (r5): ON for sampled report generation — the
+    # measured win on report content (1.17x at B16, 1.29x at B64,
+    # BENCHMARKS.md "Speculative SAMPLING"); --no-speculative opts out for
+    # low-acceptance content. Greedy stays opt-in (--speculative): at
+    # serving batch a greedy verify step costs ~2.2x a greedy step, above
+    # the measured acceptance 1.77.
+    spec = getattr(args, "speculative", False) or (
+        args.do_sample and not getattr(args, "no_speculative", False))
+    if spec and args.do_sample and args.num_samples > 1:
+        # the measured-best multi-sample mode (r4 pred_then_green rerun:
+        # spec + fan-out, acceptance 1.81): vision encode AND prefill once
+        # per case, speculative sampled decode over the shared prompt KV
+        from .models.speculative import make_spec_multimodal_generate_fn
+
+        gen_fn = None
+        fan_fn = make_spec_multimodal_generate_fn(
+            model, gen, fanout=args.num_samples)
+    elif spec:
         # n-gram-drafted decode: greedy-exact / distribution-preserving,
         # faster on template-heavy report sampling (models/speculative.py)
         from .models.speculative import make_spec_multimodal_generate_fn
@@ -1010,7 +1027,10 @@ def cmd_serve(args):
     model = U2InferenceModel(
         args.checkpoint, tokenizer=_load_tokenizer(args.tokenizer),
         model_config=cfg, max_new_tokens=args.max_new_tokens,
-        do_sample=args.do_sample, top_p=args.top_p, speculative=bool(spec),
+        do_sample=args.do_sample, top_p=args.top_p,
+        # None = the model's measured default (on for report serving);
+        # 'off' disables for low-acceptance content
+        speculative=None if spec is None else spec != "off",
         weights=getattr(args, "weights", "bf16"))
     if getattr(args, "slots", 0) > 1:
         # continuous batching: concurrent requests share a slot pool
@@ -1022,6 +1042,7 @@ def cmd_serve(args):
             top_p=args.top_p, num_slots=args.slots,
             prompt_buf=args.max_length,
             speculative=("auto" if spec == "auto" else
+                         False if spec == "off" else
                          True if spec else None))
         print(f"continuous batching: {args.slots} slots", file=sys.stderr)
     print(f"serving on {args.host}:{args.port}", file=sys.stderr)
@@ -1242,6 +1263,10 @@ def build_parser():
     g.add_argument("--do-sample", action="store_true")
     g.add_argument("--top-p", type=float, default=0.9)
     g.add_argument("--num-samples", type=int, default=8)
+    g.add_argument("--no-speculative", action="store_true",
+                   help="disable the sampled-path speculative default "
+                        "(measured 1.17-1.29x on report content; opt out "
+                        "for low-acceptance content)")
     g.add_argument("--speculative", action="store_true",
                    help="n-gram-drafted speculative decode (greedy-exact / "
                         "distribution-preserving)")
@@ -1389,13 +1414,14 @@ def build_parser():
     sv.add_argument("--do-sample", action="store_true")
     sv.add_argument("--top-p", type=float, default=0.9)
     sv.add_argument("--speculative", nargs="?", const="on", default=None,
-                    choices=["on", "auto"],
-                    help="n-gram-drafted decode (greedy: opt-in on the "
-                         "slot engine; exact tokens either way). 'auto' "
+                    choices=["on", "auto", "off"],
+                    help="n-gram-drafted decode (exact tokens/distribution "
+                         "either way). Default: ON for the single-request "
+                         "path (measured 1.17-1.29x on report content — "
+                         "BENCHMARKS.md), opt-in on the slot engine; "
+                         "'off' disables (low-acceptance content); 'auto' "
                          "(slot engine) walks a ladder of verify-block "
-                         "sizes (1..block_len) on measured acceptance: "
-                         "down to one-token dispatches on low-acceptance "
-                         "content, up on template-heavy content, "
+                         "sizes (1..block_len) on measured acceptance, "
                          "re-probing periodically")
     sv.add_argument("--weights", choices=["bf16", "int8", "int4"],
                     default="bf16",

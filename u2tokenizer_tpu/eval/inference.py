@@ -37,7 +37,7 @@ class U2InferenceModel:
                  model_config=None, dtype=None, max_length: int = 1024,
                  max_new_tokens: int = 768, do_sample: bool = True,
                  top_p: float = 0.9, lora_path: Optional[str] = None,
-                 seed: int = 0, speculative: bool = False,
+                 seed: int = 0, speculative: Optional[bool] = None,
                  weights: str = "bf16"):
         import jax
         import jax.numpy as jnp
@@ -108,9 +108,16 @@ class U2InferenceModel:
             pad_token_id=tokenizer.pad_token_id or 0)
         self.gen_cfg = gen
         # ``speculative``: n-gram-drafted decode — identical tokens when
-        # greedy, identical distribution when sampling; speeds up template-
-        # heavy report generation (e.g. the 8-samples/case pred_then_green
-        # loop). Opt-in: acceptance is content-dependent.
+        # greedy, identical distribution when sampling. DEFAULT ON for the
+        # report-serving surface (r5): speculative SAMPLING measured a
+        # 1.29x win at B64 and 1.17x at B16 on AMOS-style report content
+        # (acceptance 1.77-1.79; BENCHMARKS.md "Speculative SAMPLING",
+        # docs/artifacts/r5/spec_sampling_b64.json) — radiology reports are
+        # template-heavy, which is exactly the acceptance regime. Pass
+        # speculative=False for adversarial/low-acceptance content (the
+        # crossover is ~1.3-1.5 accepted tokens/step).
+        if speculative is None:
+            speculative = True
         self._speculative = speculative
         if speculative:
             self._gen_fn = make_spec_multimodal_generate_fn(
