@@ -52,6 +52,17 @@ bench bench_8b_b64_vmb64      3600 BENCH_BATCH=64 BENCH_VMB=64 BENCH_PREFILL_CHU
 bench bench_8b_b64_nochunk    3600 BENCH_BATCH=64 BENCH_VMB=64
 bench bench_8b_b56            3600 BENCH_BATCH=56 BENCH_VMB=56 BENCH_PREFILL_CHUNK=256
 
+# headline knee check above B96: the r4 sweep stopped at 96 (+1.9% over
+# B64); one more rung tells whether the default batch should move again
+echo "=== $(date) 1.7B default-config B112"
+if timeout 3600 env BENCH_BATCH=112 BENCH_ALT_TOO=0 \
+    python bench.py > /tmp/r5.bench_b112.json 2>/tmp/r5.bench_b112.log; then
+  cp /tmp/r5.bench_b112.json "$ART/bench_int8w_b112.json"
+  echo "--- b112 OK:"; cat "$ART/bench_int8w_b112.json"
+else
+  echo "--- b112 FAILED rc=$?"; tail -3 /tmp/r5.bench_b112.log
+fi
+
 # real-weights-day dress rehearsal of the headline: bench.py driving the
 # CONVERTED checkpoint (emitted by the r5b rehearsal) instead of random
 # init — exercises the BENCH_CKPT path end-to-end at 1.7B geometry

@@ -327,14 +327,25 @@ class Engine:
     ``probe_every`` one-token dispatches the engine re-probes the next
     rung. Output is bit-identical at every rung; only dispatch granularity
     adapts.
+
+    Threshold defaults are CALIBRATED from the measured per-rung dispatch
+    cost c(k) on the axon relay (docs/artifacts/r5/slot_ladder.json, 1.7B
+    int8, 8 slots): c(k) is nearly flat — 33.9 / 37.6 / 35.5 / 40.2
+    ms/dispatch at kb 1/2/4/8 (plain 35.3) — because the host→device round
+    trip dominates the verify compute at slot scale. The worst cost ratio
+    c(8)/c(1) = 1.19, so a rung pays for itself at acceptance ≈1.2, NOT
+    the old guess of 2.0 (which would have demoted the measured-best rung:
+    kb4 at acceptance 1.30 was the fastest row, 220 tok/s vs plain 204.5).
+    ``grow_frac=0.55`` steps 2→4 at acceptance ≥1.1 (measured win) while
+    holding 4→8 until acceptance ≥2.2 (kb8 measured slower at 1.35).
     """
 
     def __init__(self, model, params, gen: GenerationConfig,
                  num_slots: int = 8, prompt_buf: int = 1024,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
                  speculative=False, block_len: int = 8,
-                 spec_threshold: float = 2.0, spec_window: int = 16,
-                 probe_every: int = 64, grow_frac: float = 0.75):
+                 spec_threshold: float = 1.2, spec_window: int = 16,
+                 probe_every: int = 64, grow_frac: float = 0.55):
         self.model = model
         self.params = params
         self.gen = gen
