@@ -34,11 +34,14 @@ for mode in plain_short plain_full spec_short; do
   step "ss_b64_${mode}_idle" 2400 env SS_BATCH=64 SS_MODE=$mode SS_STATE=$ST \
     python tools_bench_spec_sampling.py
 done
-# spec_full crashed once in r4j with a transient TPU-worker error; retry
+# spec_full crashed once in r4j with a transient TPU-worker error; retry.
+# (ADVICE r4: check the CURRENT state, not the persistent artifact — a
+# stale committed artifact would short-circuit retries.)
 for attempt in 1 2; do
   step "ss_b64_spec_full_idle" 2400 env SS_BATCH=64 SS_MODE=spec_full SS_STATE=$ST \
     python tools_bench_spec_sampling.py
-  grep -q '"spec_full"' "$ART/ss_b64_spec_full_idle.json" 2>/dev/null && break
+  python -c "import json,sys; sys.exit(0 if 'spec_full' in json.load(open('$ST')) else 1)" \
+    2>/dev/null && break
   echo "=== spec_full attempt $attempt failed; retrying"
   sleep 20
 done
