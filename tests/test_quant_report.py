@@ -118,9 +118,11 @@ def test_cli_quant_report_tiny(capsys):
 
 def test_decide_thresholds():
     """decide() applies DECISION_THRESHOLDS per mode: a passing int4 entry
-    flips pass=True; any single failing check flips pass=False with the
-    failing check identified; weights-only entries give pass=None; the
-    rehearsal flag marks the verdict non-decision-grade."""
+    flips pass=True only when ALL FOUR checks are evaluable and pass; any
+    single failing check flips pass=False with the failing check
+    identified; an incomplete battery (weights-only run) can fail but
+    never go — pass=None + complete=False; the rehearsal flag marks the
+    verdict non-decision-grade."""
     from u2tokenizer_tpu.eval.quant_report import decide
 
     good = {
@@ -144,7 +146,12 @@ def test_decide_thresholds():
 
     weights_only = {"weights": {"snr_db_min": 40.0}}
     d = decide(weights_only, "int8")
-    assert d["pass"] is True  # the one evaluable check passed
+    # one passing check is NOT a go verdict — the int4 default flip must
+    # never ride a weights-only run
+    assert d["pass"] is None and d["complete"] is False
+    assert "not evaluated" in d["note"]
+    d = decide({"weights": {"snr_db_min": 5.0}}, "int8")
+    assert d["pass"] is False  # a failing check CAN fail an incomplete run
     d = decide({"weights": {}}, "int8")
     assert d["pass"] is None  # nothing evaluable
 

@@ -98,8 +98,9 @@ def report():
     # different token count — surface that in the report (ADVICE r4).
     warnings = [f"{stem}_T missing from state: assuming the current "
                 f"SS_TOKENS/SS_SHORT env values"
-                for stem in ("plain_full", "plain_short", spec_src,
-                             "forced_full")
+                for stem in dict.fromkeys(  # dedup: spec_src may BE forced_full
+                    ("plain_full", "plain_short", "spec_short", spec_src,
+                     "forced_full"))
                 if f"{stem}_T" not in r and stem in r]
     t_plain_full = r.get("plain_full_T", T)
     t_plain_short = r.get("plain_short_T", SHORT)

@@ -199,6 +199,15 @@ def main():
     os.makedirs(ART_DIR, exist_ok=True)
     metrics_path = os.path.join(tcfg.output_dir, "metrics.jsonl")
     rows = [json.loads(x) for x in open(metrics_path)]
+    # MetricLogger appends across the kill+resume protocol: steps between
+    # the restored checkpoint and the kill point appear twice (run-1 tail +
+    # run-2 deterministic replay). Keep the raw jsonl as-is for provenance;
+    # the curve and summary use the latest row per step.
+    by_step = {}
+    for r in rows:
+        by_step[r["step"]] = r
+    curve = [by_step[k] for k in sorted(by_step)]
+    replayed = len(rows) - len(curve)
     import shutil
     shutil.copy(metrics_path,
                 os.path.join(ART_DIR, "train_loop_8b_metrics.jsonl"))
@@ -209,11 +218,11 @@ def main():
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(7, 3.5))
-        ax.plot([r["step"] for r in rows], [r["loss"] for r in rows],
+        ax.plot([r["step"] for r in curve], [r["loss"] for r in curve],
                 lw=1.2)
         if resumed_from:
             ax.axvline(resumed_from, ls="--", lw=0.8, color="gray")
-            ax.text(resumed_from, max(r["loss"] for r in rows),
+            ax.text(resumed_from, max(r["loss"] for r in curve),
                     f" resume @{resumed_from}", fontsize=8, color="gray")
         ax.set_xlabel("step")
         ax.set_ylabel("LM loss")
@@ -225,8 +234,9 @@ def main():
         log(f"loss-curve png skipped: {e}")
         png = None
 
-    losses = [r["loss"] for r in rows]
-    gns = [r.get("grad_norm") for r in rows if r.get("grad_norm")]
+    losses = [r["loss"] for r in curve]
+    gns = [r["grad_norm"] for r in curve
+           if r.get("grad_norm") is not None]
     print(json.dumps({
         "metric": "train_loop_8b_steps",
         "value": final_step,
@@ -239,6 +249,7 @@ def main():
                        "volumes, real FusedDataset+DataLoader(2 workers)"
                        "+device_prefetch",
             "resumed_from_step": resumed_from,
+            "replayed_steps": replayed or None,
             "kill_at": KILL_AT or None,
             "wall_s_this_run": round(wall, 1),
             "loss_first": round(losses[0], 4),

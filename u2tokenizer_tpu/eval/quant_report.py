@@ -225,11 +225,15 @@ def decide(entry: Dict[str, Any], mode: str,
            decision_grade: bool = True) -> Dict[str, Any]:
     """Apply DECISION_THRESHOLDS to one quant-report mode entry.
 
-    Returns {"pass": bool|None, "checks": {...}, "decision_grade": bool}.
-    ``pass`` is None when no check could be evaluated (weights-only run
-    with no forward/greedy sections). ``decision_grade=False`` marks runs
-    on synthetic/random weights: the machinery is exercised but only a
-    real checkpoint's verdict may flip a default."""
+    Returns {"pass": bool|None, "checks": {...}, "complete": bool,
+    "decision_grade": bool}. ``pass`` is None when no check could be
+    evaluated (weights-only run with no forward/greedy sections), and is
+    never True unless ALL four checks were evaluable AND passed — a
+    weights-only run must not produce a go verdict from the SNR check
+    alone (``complete=False`` names the missing checks in ``note``).
+    ``decision_grade=False`` marks runs on synthetic/random weights: the
+    machinery is exercised but only a real checkpoint's verdict may flip
+    a default."""
     th = DECISION_THRESHOLDS.get(mode)
     if th is None:
         return {"pass": None, "checks": {},
@@ -251,8 +255,25 @@ def decide(entry: Dict[str, Any], mode: str,
     g = entry.get("greedy") or {}
     check("greedy_match_fraction", g.get("match_fraction"),
           th["greedy_match_min"], True)
-    ok = (all(c["ok"] for c in checks.values()) if checks else None)
-    out = {"pass": ok, "checks": checks, "decision_grade": decision_grade}
+    required = ("snr_db_min", "top1_match", "mean_kl",
+                "greedy_match_fraction")
+    missing = [n for n in required if n not in checks]
+    complete = not missing
+    if not checks:
+        ok = None
+    elif any(not c["ok"] for c in checks.values()):
+        ok = False
+    else:
+        # every evaluated check passed — but "go" needs the full battery
+        ok = True if complete else None
+    out = {"pass": ok, "checks": checks, "complete": complete,
+           "decision_grade": decision_grade}
+    if missing and checks:
+        out["note"] = ("incomplete battery — not evaluated: "
+                       + ", ".join(missing)
+                       + "; a go verdict needs all four checks "
+                         "(re-run without --weights-only / with "
+                         "--greedy-tokens)")
     if not decision_grade:
         out["note"] = ("random/synthetic weights: thresholds exercised but "
                        "NOT decision-grade — re-run on a real checkpoint")

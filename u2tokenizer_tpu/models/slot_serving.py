@@ -336,8 +336,12 @@ class Engine:
     c(8)/c(1) = 1.19, so a rung pays for itself at acceptance ≈1.2, NOT
     the old guess of 2.0 (which would have demoted the measured-best rung:
     kb4 at acceptance 1.30 was the fastest row, 220 tok/s vs plain 204.5).
-    ``grow_frac=0.55`` steps 2→4 at acceptance ≥1.1 (measured win) while
-    holding 4→8 until acceptance ≥2.2 (kb8 measured slower at 1.35).
+    ``grow_frac=0.55`` sets the promotion bound at 0.55·k; the shrink
+    check runs first, so promotion from kb2 effectively requires a window
+    ≥ ``spec_threshold`` (1.2 > 0.55·2) — deliberate: the measured kb2 row
+    (200 tok/s at acceptance 1.18) LOST to kb1 (213), so the [1.1, 1.2)
+    band demotes rather than grows — while 4→8 waits for acceptance ≥2.2
+    (kb8 measured slower at 1.35: 194 tok/s vs kb4's 220).
     """
 
     def __init__(self, model, params, gen: GenerationConfig,
@@ -644,12 +648,14 @@ class EngineInference:
             eos_token_id=tokenizer.eos_token_id,
             pad_token_id=tokenizer.pad_token_id or 0)
         if speculative is None:
-            # Opt-in: a verify block costs ~2x a plain dispatch at small
-            # slot counts and pays off only when acceptance > ~2 — true for
-            # template-heavy reports, not guaranteed for arbitrary chat
-            # (measured: acceptance 1.1 on random prompts vs 4.0 on
-            # repetitive content — BENCHMARKS.md). Tokens are identical
-            # either way; flip on for report-serving workloads.
+            # Opt-in: the calibrated per-rung dispatch costs are nearly
+            # flat (c(k)/c(1) ≤ 1.19, break-even acceptance ≈1.2 —
+            # docs/artifacts/r5/slot_ladder.json), but on random-prompt
+            # content the adaptive ladder measured 200 tok/s vs plain's
+            # 204.5 (acceptance 1.14 < break-even), so plain stays the
+            # default for arbitrary chat; template-heavy reports measure
+            # acceptance ≥1.3 (kb4: 220 tok/s) — flip on ("auto") for
+            # report-serving workloads. Tokens are identical either way.
             speculative = False
         if speculative and do_sample:
             speculative = False  # the slot verify block is greedy-only
