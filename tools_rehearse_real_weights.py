@@ -131,14 +131,20 @@ def stage_quant():
     checkpoint the verdict is flagged non-decision-grade (--rehearsal);
     set REH_DECISION_GRADE=1 when REH_CKPT points at real weights."""
     t0 = time.time()
-    argv = ["quant-report", "--checkpoint", OUT, "--modes", "int8,int4",
-            "--greedy-tokens", "4" if TINY else "32",
-            "--platform", "cpu" if TINY else "default"]
-    if TINY:
-        argv += ["--tiny"]
-    if os.environ.get("REH_DECISION_GRADE") != "1":
-        argv += ["--rehearsal"]
-    out = json.loads(_run_cli(argv))
+    # one cli subprocess per mode: the int8+int4 combined run was
+    # OOM-killed at full geometry (130 GB anon RSS) — per-mode processes
+    # reset host RSS between modes and U2_QR_TRACE localizes any repeat
+    os.environ["U2_QR_TRACE"] = "1"
+    out = {}
+    for mode in ("int8", "int4"):
+        argv = ["quant-report", "--checkpoint", OUT, "--modes", mode,
+                "--greedy-tokens", "4" if TINY else "32",
+                "--platform", "cpu" if TINY else "default"]
+        if TINY:
+            argv += ["--tiny"]
+        if os.environ.get("REH_DECISION_GRADE") != "1":
+            argv += ["--rehearsal"]
+        out.update(json.loads(_run_cli(argv)))
     summary = {}
     for mode in ("int8", "int4"):
         if mode in out:

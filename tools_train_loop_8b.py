@@ -117,8 +117,19 @@ def main():
             batch["images"] = batch["images"].astype(np.float32)
             yield batch
 
+    # probe for a resume point BEFORE materializing: on resume only the
+    # frozen base is materialized and the trainables/opt state restore into
+    # fresh buffers via an abstract template — materializing them first and
+    # then restoring a second copy OOMed the 16 GB chip (r5b queue log)
+    ckpt_dir = os.path.join(RUN_DIR, "out", "checkpoints")
+    pre = CheckpointManager(ckpt_dir, save_interval_steps=SAVE_STEPS)
+    resumed_from = pre.latest_step()
+    pre.close()
+
     log(f"init: materializing 8B {QUANT} base + adapters (single-jit "
-        "streaming quantization, tools_train_8b_qlora.py)")
+        "streaming quantization, tools_train_8b_qlora.py)"
+        + (f"; resuming from step {resumed_from} — trainables stay "
+           "abstract" if resumed_from is not None else ""))
     t0 = time.time()
     input_ids0 = jnp.zeros((B, s), jnp.int32)
     images0 = jnp.zeros((B, cfg.num_chunks, d, h, w), jnp.bfloat16)
@@ -137,8 +148,17 @@ def main():
                       for k, v in train_flat.items()}
         return train_flat, frozen_flat
 
-    train_flat, frozen_flat = jax.jit(init_fn)(rng)
-    np.asarray(next(iter(train_flat.values())))  # fence
+    if resumed_from is not None:
+        abs_train, _ = jax.eval_shape(init_fn, rng)
+        frozen_flat = jax.jit(lambda r: init_fn(r)[1])(rng)
+        np.asarray(next(iter(frozen_flat.values())))  # fence
+        shd = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        train_flat = jax.tree_util.tree_map(
+            lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=shd),
+            abs_train)
+    else:
+        train_flat, frozen_flat = jax.jit(init_fn)(rng)
+        np.asarray(next(iter(train_flat.values())))  # fence
     log(f"init done in {time.time() - t0:.1f}s")
 
     schedule = optax.warmup_cosine_decay_schedule(0.0, 1e-4, 5,
@@ -167,18 +187,19 @@ def main():
         return (TrainState(step=state.step + 1, params=tf, opt_state=opt),
                 {"loss": loss, "token_accuracy": acc, "grad_norm": gn})
 
+    if resumed_from is not None:
+        opt_state = jax.tree_util.tree_map(
+            lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=shd),
+            jax.eval_shape(tx.init, train_flat))
+    else:
+        opt_state = tx.init(train_flat)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=train_flat,
-                       opt_state=tx.init(train_flat))
+                       opt_state=opt_state)
 
     tcfg = TrainConfig(learning_rate=1e-4, warmup_ratio=0.1,
                        lr_schedule="cosine",
                        output_dir=os.path.join(RUN_DIR, "out"),
                        save_steps=SAVE_STEPS, log_steps=1, max_steps=STEPS)
-
-    ckpt_dir = os.path.join(tcfg.output_dir, "checkpoints")
-    pre = CheckpointManager(ckpt_dir, save_interval_steps=SAVE_STEPS)
-    resumed_from = pre.latest_step()
-    pre.close()
 
     class KillingLogger(MetricLogger):
         """Hard-kill (preemption simulation) right after logging KILL_AT."""

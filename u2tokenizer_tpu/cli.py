@@ -867,11 +867,19 @@ def cmd_quant_report(args):
     import jax.numpy as jnp
 
     from .eval.quant_report import (forward_agreement, greedy_agreement,
-                                    layer_quant_report, synthetic_batches)
+                                    layer_quant_report, synthetic_batches,
+                                    trace_rss)
+    from .models.quantize import quantize_llm_weights
     from .models.u2_model import U2CausalLM
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    try:
+        # the float forward is compiled once per mode (same HLO) — the
+        # persistent cache turns the repeats into hits
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
     cfg = _load_model_config(args)
     batches = synthetic_batches(cfg, num_batches=args.num_batches,
                                 seq_extra=args.seq_extra)
@@ -884,6 +892,7 @@ def cmd_quant_report(args):
         b = batches[0]
         params = model.init(jax.random.PRNGKey(0), b["input_ids"],
                             b["images"], b["question_ids"])
+    trace_rss("params loaded")
     report = {"checkpoint": args.checkpoint or "random-init"}
     from .eval.quant_report import decide
 
@@ -892,15 +901,26 @@ def cmd_quant_report(args):
     decision_grade = bool(args.checkpoint) and not args.rehearsal
     for mode in args.modes.split(","):
         weights = layer_quant_report(params, mode)
+        trace_rss(f"weights leg [{mode}]")
         if not args.per_layer:
             weights = {k: v for k, v in weights.items() if k != "layers"}
         entry = {"weights": weights}
         if not args.weights_only:
-            entry["forward"] = forward_agreement(cfg, params, batches, mode)
+            # one device-resident float tree + one quantized tree shared
+            # by both legs (the checkpoint's host copy is the fallback —
+            # re-loading it per leg was part of the full-geometry OOM)
+            dparams = jax.device_put(params)
+            qparams = jax.jit(quantize_llm_weights,
+                              static_argnums=1)(dparams, mode)
+            trace_rss(f"quantized tree [{mode}]")
+            entry["forward"] = forward_agreement(cfg, dparams, batches,
+                                                 mode, qparams=qparams)
             if args.greedy_tokens:
                 entry["greedy"] = greedy_agreement(
-                    cfg, params, batches[0], mode,
-                    max_new_tokens=args.greedy_tokens)
+                    cfg, dparams, batches[0], mode,
+                    max_new_tokens=args.greedy_tokens, qparams=qparams)
+                trace_rss(f"greedy leg [{mode}]")
+            del dparams, qparams
         entry["decision"] = decide(entry, mode,
                                    decision_grade=decision_grade)
         report[mode] = entry

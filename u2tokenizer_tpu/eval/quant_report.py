@@ -23,6 +23,8 @@ the missing error report. Exposed as ``cli quant-report``.
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Any, Dict, List
 
 import jax
@@ -31,6 +33,26 @@ import numpy as np
 
 from ..models.quantize import (_dequantize_tree, _quantize_tree,
                                quantize_llm_weights, quantized_llm_config)
+
+
+def trace_rss(tag: str) -> None:
+    """Stderr breadcrumb (peak + current RSS) between report legs, enabled
+    by ``U2_QR_TRACE=1``. The r5 rehearsal's full-geometry quant stage was
+    OOM-killed at 130 GB anon RSS with no indication of which leg — this
+    makes the next failure self-localizing."""
+    if os.environ.get("U2_QR_TRACE") != "1":
+        return
+    hwm = cur = "?"
+    try:
+        for line in open("/proc/self/status"):
+            if line.startswith("VmHWM"):
+                hwm = f"{int(line.split()[1]) / 1e6:.1f}"
+            elif line.startswith("VmRSS"):
+                cur = f"{int(line.split()[1]) / 1e6:.1f}"
+    except OSError:
+        pass
+    print(f"[quant-report rss] {tag}: rss_gb={cur} peak_gb={hwm}",
+          file=sys.stderr, flush=True)
 
 
 def _roundtrip_kernel(key: str, val, mode: str):
@@ -74,10 +96,16 @@ def layer_quant_report(params, mode: str = "int8") -> Dict[str, Any]:
         recon = _roundtrip_kernel(key, kernel, mode)
         if recon is None:
             continue
-        w = np.asarray(kernel, np.float64)
-        err = w - np.asarray(recon, np.float64)
-        p_sig = float((w * w).sum())
-        p_err = float((err * err).sum())
+        # float32 arrays with float64 accumulation (einsum dtype): the
+        # quant errors being measured (~1e-2..1e-4 of scale) dwarf f32
+        # rounding, and f64 copies of the 152k-vocab embed cost 2.5 GB
+        # each — three of them at once was a real chunk of the rehearsal
+        # OOM headroom
+        w = np.asarray(kernel, np.float32)
+        err = w - np.asarray(recon, np.float32)
+        wf, ef = w.ravel(), err.ravel()
+        p_sig = float(np.einsum("i,i->", wf, wf, dtype=np.float64))
+        p_err = float(np.einsum("i,i->", ef, ef, dtype=np.float64))
         snr = 10.0 * np.log10(p_sig / p_err) if p_err > 0 else float("inf")
         scale = max(float(np.abs(w).max()), 1e-12)
         layers[path] = {
@@ -96,41 +124,69 @@ def layer_quant_report(params, mode: str = "int8") -> Dict[str, Any]:
     }
 
 
-def _forward_logits(model, params, batch):
-    logits, _, _ = model.apply(
-        params, batch["input_ids"], batch["images"], batch["question_ids"],
-        attention_mask=batch.get("attention_mask"))
-    return np.asarray(logits, np.float32)
+def _make_forward_fn(model):
+    """One jitted teacher-forced forward returning device logits. The
+    r5 rehearsal's full-geometry quant stage (unjitted eager apply, host
+    float32 logit copies, host argsort over the 152k vocab) was OOM-killed
+    at 130 GB host RSS — everything here stays a single compiled
+    executable with device-resident intermediates."""
+    @jax.jit
+    def fwd(params, input_ids, images, question_ids, attention_mask):
+        logits, _, _ = model.apply(params, input_ids, images, question_ids,
+                                   attention_mask=attention_mask)
+        return logits
+    return fwd
+
+
+@jax.jit
+def _logit_agreement_metrics(lf, lq):
+    """Device-side scalar reduction of two [B,S,V] logit sets: top-1
+    match, float-top-5-contains-quant-top-1, mean fp32 KL(float‖quant),
+    max |Δlogit| scaled by the float set's absolute max."""
+    lf = lf.astype(jnp.float32)
+    lq = lq.astype(jnp.float32)
+    af, aq = lf.argmax(-1), lq.argmax(-1)
+    k = min(5, lf.shape[-1])
+    _, tf5 = jax.lax.top_k(lf, k)
+    pf = jax.nn.log_softmax(lf, axis=-1)
+    pq = jax.nn.log_softmax(lq, axis=-1)
+    return {
+        "top1": jnp.mean(af == aq),
+        "top5": jnp.mean((tf5 == aq[..., None]).any(-1)),
+        "kl": jnp.mean(jnp.sum(jnp.exp(pf) * (pf - pq), axis=-1)),
+        "max_err": jnp.abs(lf - lq).max()
+                   / jnp.maximum(1.0, jnp.abs(lf).max()),
+    }
 
 
 def forward_agreement(cfg, params, batches: List[Dict[str, Any]],
                       mode: str = "int8",
-                      dtype=jnp.bfloat16) -> Dict[str, Any]:
+                      dtype=jnp.bfloat16, qparams=None) -> Dict[str, Any]:
     """Teacher-forced logit agreement between the float model and its
     ``mode``-quantized variant on shared batches (multimodal: ids + CT
     volume + question ids). Positions are compared over the full sequence;
-    KL uses fp32 softmax of both logit sets."""
+    KL uses fp32 softmax of both logit sets. Pass a precomputed
+    ``qparams`` to share one quantized tree with ``greedy_agreement``."""
     from ..models.u2_model import U2CausalLM
 
     fmodel = U2CausalLM(cfg, dtype=dtype)
     qmodel = U2CausalLM(quantized_llm_config(cfg, mode), dtype=dtype)
-    qparams = quantize_llm_weights(params, mode)
+    if qparams is None:
+        qparams = jax.jit(quantize_llm_weights,
+                          static_argnums=1)(params, mode)
+    ffwd, qfwd = _make_forward_fn(fmodel), _make_forward_fn(qmodel)
 
     top1, top5, kls, max_errs = [], [], [], []
-    for batch in batches:
-        lf = _forward_logits(fmodel, params, batch)
-        lq = _forward_logits(qmodel, qparams, batch)
-        top1.append(np.mean(lf.argmax(-1) == lq.argmax(-1)))
-        k = min(5, lf.shape[-1])
-        tf5 = np.argsort(-lf, axis=-1)[..., :k]
-        tq1 = lq.argmax(-1)[..., None]
-        top5.append(np.mean((tf5 == tq1).any(-1)))
-        pf = jax.nn.log_softmax(jnp.asarray(lf), axis=-1)
-        pq = jax.nn.log_softmax(jnp.asarray(lq), axis=-1)
-        kls.append(float(jnp.mean(
-            jnp.sum(jnp.exp(pf) * (pf - pq), axis=-1))))
-        scale = max(1.0, float(np.abs(lf).max()))
-        max_errs.append(float(np.abs(lf - lq).max() / scale))
+    for i, batch in enumerate(batches):
+        args = (batch["input_ids"], batch["images"], batch["question_ids"],
+                batch.get("attention_mask"))
+        m = jax.device_get(_logit_agreement_metrics(
+            ffwd(params, *args), qfwd(qparams, *args)))
+        trace_rss(f"forward[{mode}] batch {i}")
+        top1.append(float(m["top1"]))
+        top5.append(float(m["top5"]))
+        kls.append(float(m["kl"]))
+        max_errs.append(float(m["max_err"]))
     return {
         "mode": mode,
         "num_batches": len(batches),
@@ -143,12 +199,13 @@ def forward_agreement(cfg, params, batches: List[Dict[str, Any]],
 
 def greedy_agreement(cfg, params, batch: Dict[str, Any],
                      mode: str = "int8", max_new_tokens: int = 32,
-                     dtype=jnp.bfloat16) -> Dict[str, Any]:
+                     dtype=jnp.bfloat16, qparams=None) -> Dict[str, Any]:
     """Greedy-decode both stacks from the same multimodal prompt; report
     the first step where the argmax token diverges and the match fraction.
     Each stack feeds its OWN argmax back (true serving behavior, not
     teacher-forced), so one early flip can cascade — first_divergence is
-    the honest number, match_fraction the color."""
+    the honest number, match_fraction the color. Pass a precomputed
+    ``qparams`` to share one quantized tree with ``forward_agreement``."""
     from ..config import GenerationConfig
     from ..models.generate import make_multimodal_generate_fn
     from ..models.u2_model import U2CausalLM
@@ -157,7 +214,9 @@ def greedy_agreement(cfg, params, batch: Dict[str, Any],
                            eos_token_id=-2, pad_token_id=0)
     fmodel = U2CausalLM(cfg, dtype=dtype)
     qmodel = U2CausalLM(quantized_llm_config(cfg, mode), dtype=dtype)
-    qparams = quantize_llm_weights(params, mode)
+    if qparams is None:
+        qparams = jax.jit(quantize_llm_weights,
+                          static_argnums=1)(params, mode)
 
     plen = jnp.asarray([int(batch["attention_mask"].sum(-1)[0])]
                        if batch.get("attention_mask") is not None

@@ -102,10 +102,31 @@ def run_training(
         save_total_limit=cfg.save_total_limit,
         save_interval_steps=cfg.save_steps)
 
-    restored = ckpt.restore(jax.tree_util.tree_map(lambda x: x, state))
+    # Restore against an ABSTRACT template (shape/dtype/sharding only):
+    # orbax then never needs the template's concrete buffers, and callers
+    # that already know they are resuming may pass ShapeDtypeStruct leaves
+    # for the trainable state instead of materializing a tree that the
+    # restore would immediately duplicate (the 8B QLoRA resume leg OOMed
+    # exactly this way: init copy + restored copy of trainables+opt both
+    # resident when the first step's activations allocated).
+    def _abstract(x):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            return x
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return x
+
+    restored = ckpt.restore(jax.tree_util.tree_map(_abstract, state))
     if restored is not None:
         state = restored
         print(f"resumed from step {int(np.asarray(state.step))}", flush=True)
+    elif any(isinstance(l, jax.ShapeDtypeStruct)
+             for l in jax.tree_util.tree_leaves(state)):
+        raise ValueError(
+            "state contains abstract (ShapeDtypeStruct) leaves but there is "
+            "no checkpoint to restore them from — pass concrete arrays for "
+            "a from-scratch run")
 
     start_step = int(np.asarray(state.step))
     total_steps = cfg.max_steps
