@@ -72,9 +72,14 @@ def main():
     from u2tokenizer_tpu.models.quantize import quantized_llm_config
     from u2tokenizer_tpu.models.u2_model import U2CausalLM
 
+    global PROMPT_LEN, MAX_NEW
     cfg = U2ModelConfig()
     if MODEL == "8b":
         cfg = dataclasses.replace(cfg, llm=LLMConfig.qwen3_8b())
+    elif MODEL == "tiny":  # CPU smoke of both probe paths
+        jax.config.update("jax_platforms", "cpu")
+        cfg = U2ModelConfig.tiny()
+        PROMPT_LEN, MAX_NEW = 32, 8
     model = U2CausalLM(quantized_llm_config(cfg, WQ), dtype=jnp.bfloat16)
     d, h, w = cfg.vision.input_spatial
     rng = jax.random.PRNGKey(0)
@@ -112,9 +117,16 @@ def main():
               "prefill_chunk": PFC or 0, "wq": WQ, "kv": KV,
               "probe": PROBE}
     if PROBE == "mem":
-        lowered = embeds_fn.lower(params, ids, images, qids)
-        result["embeds"] = _ma(lowered.compile())
-        log(f"embeds: {result['embeds']}")
+        def try_ma(tag, lower_fn):
+            # an out-of-HBM COMPILE is itself the diagnosis (XLA prints
+            # the program/argument breakdown) — record it instead of dying
+            try:
+                result[tag] = _ma(lower_fn().compile())
+            except Exception as e:
+                result[tag] = {"compile_error": str(e)[:1500]}
+            log(f"{tag}: {result[tag]}")
+
+        try_ma("embeds", lambda: embeds_fn.lower(params, ids, images, qids))
         # the staged gen_fn hides its jits; compile the unstaged whole
         # program instead (prefill+decode scan in one executable) — its
         # temp is the serving peak the batch must fit alongside weights
@@ -123,10 +135,16 @@ def main():
         whole = make_multimodal_generate_fn(
             model, gen, cache_dtype=KV, jit=False,
             vision_microbatch=VMB, prefill_chunk=PFC)
-        lw = jax.jit(whole).lower(params, ids, images, qids, plen,
-                                  jax.random.PRNGKey(1))
-        result["generate"] = _ma(lw.compile())
-        log(f"generate: {result['generate']}")
+        try_ma("generate", lambda: jax.jit(whole).lower(
+            params, ids, images, qids, plen, jax.random.PRNGKey(1)))
+        # prefill-stage proxy: same program at 2 new tokens — its peak is
+        # the prefill residency the decode chunks must also fit under
+        gen2 = dataclasses.replace(gen, max_new_tokens=2)
+        pre2 = make_multimodal_generate_fn(
+            model, gen2, cache_dtype=KV, jit=False,
+            vision_microbatch=VMB, prefill_chunk=PFC)
+        try_ma("prefill_proxy", lambda: jax.jit(pre2).lower(
+            params, ids, images, qids, plen, jax.random.PRNGKey(1)))
     else:
         t0 = time.time()
         embeds = embeds_fn(params, ids, images, qids)
@@ -136,6 +154,10 @@ def main():
         embeds = embeds_fn(params, ids, images, qids)
         np.asarray(embeds[0, 0, :2].astype(jnp.float32))
         t_emb = time.time() - t0
+        # the CT volume batch (B x chunks x D x H x W bf16, ~2 GB at B64)
+        # is only an embeds-stage input — holding it across prefill+decode
+        # OOMed the B48 probe where the bench's identical config fits
+        del images, ids
         t0 = time.time()
         toks = gen_fn(params, embeds, plen, jax.random.PRNGKey(1))
         np.asarray(toks[:2, :2])

@@ -9,14 +9,27 @@ cd "$(dirname "$0")"
 ART=${ART:-docs/artifacts/r5}
 mkdir -p "$ART"
 export REH_STATE=${REH_STATE:-/tmp/u2_rehearsal_state.json}
-rm -f "$REH_STATE"
+# REH_RESUME=1: keep the state file and skip stages it already records
+# (a crashed stage mid-run doesn't force the ~1h emit+convert+verify
+# stages to repeat — their on-disk outputs are still valid inputs)
+if [ "${REH_RESUME:-0}" != "1" ]; then rm -f "$REH_STATE"; fi
+have() {
+  [ "${REH_RESUME:-0}" = "1" ] && python - "$1" <<'EOF'
+import json, os, sys
+state = os.environ.get("REH_STATE", "/tmp/u2_rehearsal_state.json")
+try:
+    sys.exit(0 if sys.argv[1] in json.load(open(state)) else 1)
+except Exception:
+    sys.exit(1)
+EOF
+}
 
-REH_STAGE=emit    timeout 3600 python tools_rehearse_real_weights.py
-REH_STAGE=convert timeout 3600 python tools_rehearse_real_weights.py
-REH_STAGE=verify  timeout 7200 python tools_rehearse_real_weights.py
-REH_STAGE=quant   timeout 7200 python tools_rehearse_real_weights.py
-REH_STAGE=serve   timeout 3600 python tools_rehearse_real_weights.py
+have emit    || REH_STAGE=emit    timeout 3600 python tools_rehearse_real_weights.py
+have convert || REH_STAGE=convert timeout 3600 python tools_rehearse_real_weights.py
+have verify  || REH_STAGE=verify  timeout 7200 python tools_rehearse_real_weights.py
+have quant   || REH_STAGE=quant   timeout 7200 python tools_rehearse_real_weights.py
+have serve   || REH_STAGE=serve   timeout 3600 python tools_rehearse_real_weights.py
 # the int4-weight candidate leg the quant gate decides about
-REH_STAGE=serve REH_WQ=int4 timeout 3600 python tools_rehearse_real_weights.py
+have serve_int4 || REH_STAGE=serve REH_WQ=int4 timeout 3600 python tools_rehearse_real_weights.py
 REH_STAGE=report  python tools_rehearse_real_weights.py \
   | tee "$ART/realweights_rehearsal.json"
