@@ -45,11 +45,12 @@ import numpy as np
 A40_BASELINE = {"1.7b": 15.58, "8b": 3.09}
 
 MODEL = __import__("os").environ.get("BENCH_MODEL", "1.7b")  # 1.7b | 8b
-# B96 is the measured knee for the 1.7B int8w/int4kv config (r4 sweep,
-# docs/artifacts/r4: B64 283.9 / B80 284.3 / B96 289.4 r/min; int4
-# weights freed the HBM that admits the bigger batch).
+# B112 is the measured best for the 1.7B int8w/int4kv config (r4 sweep
+# B64 283.9 / B80 284.3 / B96 289.4, r5 rung B112 293.0 r/min —
+# docs/artifacts/r5/bench_int8w_b112.json; the int4 cache keeps
+# amortizing past the r4 knee).
 BATCH = int(__import__("os").environ.get(
-    "BENCH_BATCH", "96" if MODEL == "1.7b" else "16"))
+    "BENCH_BATCH", "112" if MODEL == "1.7b" else "16"))
 # int4 KV is the measured-best serving config (r4 on-chip A/B,
 # docs/artifacts/r4: int4 283.9 vs int8 245.0 r/min at B64 plain greedy —
 # the decode loop is cache-bandwidth bound; per-(position, head) scales,
