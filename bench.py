@@ -321,7 +321,9 @@ def main():
         "unit": "reports/min",
         "vs_baseline": round(reports_per_min / A40_BASELINE[MODEL], 3),
         "detail": {
-            "model": f"u2-qwen3-{MODEL} (random weights)",
+            "model": f"u2-qwen3-{MODEL} "
+                     + (f"(checkpoint: {ckpt_dir})" if ckpt_dir
+                        else "(random weights)"),
             "batch": b,
             "prompt_len": PROMPT_LEN,
             "max_new_tokens": MAX_NEW_TOKENS,
