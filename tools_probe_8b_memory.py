@@ -158,22 +158,31 @@ def main():
         # is only an embeds-stage input — holding it across prefill+decode
         # OOMed the B48 probe where the bench's identical config fits
         del images, ids
-        t0 = time.time()
-        toks = gen_fn(params, embeds, plen, jax.random.PRNGKey(1))
-        np.asarray(toks[:2, :2])
-        t_dec_c = time.time() - t0
-        t0 = time.time()
-        toks = gen_fn(params, embeds, plen, jax.random.PRNGKey(1))
-        np.asarray(toks[:2, :2])
-        t_dec = time.time() - t0
         result.update({
             "embeds_s": round(t_emb, 2),
-            "prefill_decode_s": round(t_dec, 2),
             "embeds_compile_s": round(t_emb_c, 2),
-            "prefill_decode_compile_s": round(t_dec_c, 2),
-            "total_s": round(t_emb + t_dec, 2),
-            "reports_per_min": round(B / (t_emb + t_dec) * 60, 1),
         })
+        try:
+            # an OOM here IS the staged-path diagnosis (the r5d B48 run
+            # died in prefill dispatch): record it and still emit the
+            # embeds timings above
+            t0 = time.time()
+            toks = gen_fn(params, embeds, plen, jax.random.PRNGKey(1))
+            np.asarray(toks[:2, :2])
+            t_dec_c = time.time() - t0
+            t0 = time.time()
+            toks = gen_fn(params, embeds, plen, jax.random.PRNGKey(1))
+            np.asarray(toks[:2, :2])
+            t_dec = time.time() - t0
+            result.update({
+                "prefill_decode_s": round(t_dec, 2),
+                "prefill_decode_compile_s": round(t_dec_c, 2),
+                "total_s": round(t_emb + t_dec, 2),
+                "reports_per_min": round(B / (t_emb + t_dec) * 60, 1),
+            })
+        except Exception as e:
+            result["prefill_decode_error"] = str(e)[:1500]
+            log(f"prefill/decode stage failed: {result['prefill_decode_error']}")
     print(json.dumps(result))
 
 
