@@ -38,7 +38,10 @@ KV = os.environ.get("PM_KV", "int4")
 MODEL = os.environ.get("PM_MODEL", "8b")
 PROBE = os.environ.get("PROBE", "mem")
 PROMPT_LEN, MAX_NEW = 1024, 768
-DECODE_CHUNK = int(os.environ.get("PM_DECODE_CHUNK", "768"))
+# 0 = fused single-program prefill+decode (the bench/serve shipping
+# path); >0 = the staged relay path (one prefill program + host-driven
+# decode chunks, REALWEIGHTS_RUNBOOK relay jobs)
+DECODE_CHUNK = int(os.environ.get("PM_DECODE_CHUNK", "768")) or None
 
 
 def log(*a):
@@ -112,6 +115,8 @@ def main():
     # prefill/decode stages are separately jitted; ask it to expose them
     gen_fn = make_generate_fn(model, gen, KV, PFC,
                               decode_chunk=DECODE_CHUNK)
+    if DECODE_CHUNK is None:  # fused path returns a jittable, not a jit
+        gen_fn = jax.jit(gen_fn)
 
     result = {"model": MODEL, "batch": B, "vmb": VMB,
               "prefill_chunk": PFC or 0, "wq": WQ, "kv": KV,
@@ -123,7 +128,12 @@ def main():
             try:
                 result[tag] = _ma(lower_fn().compile())
             except Exception as e:
-                result[tag] = {"compile_error": str(e)[:1500]}
+                # keep the TAIL — XLA puts the allocation breakdown at the
+                # end; the r5d B64 artifact kept the head and lost the
+                # actual reason under relay boilerplate
+                msg = str(e)
+                result[tag] = {"compile_error": msg[-2500:]
+                               if len(msg) > 2500 else msg}
             log(f"{tag}: {result[tag]}")
 
         try_ma("embeds", lambda: embeds_fn.lower(params, ids, images, qids))
@@ -181,7 +191,9 @@ def main():
                 "reports_per_min": round(B / (t_emb + t_dec) * 60, 1),
             })
         except Exception as e:
-            result["prefill_decode_error"] = str(e)[:1500]
+            msg = str(e)
+            result["prefill_decode_error"] = (msg[-2500:]
+                                              if len(msg) > 2500 else msg)
             log(f"prefill/decode stage failed: {result['prefill_decode_error']}")
     print(json.dumps(result))
 
