@@ -74,6 +74,11 @@ VMB = int(__import__("os").environ.get("BENCH_VMB", "128"))  # vision microbatch
 PFC = int(__import__("os").environ.get("BENCH_PREFILL_CHUNK", "0")) or None
 PROMPT_LEN = 1024
 MAX_NEW_TOKENS = 768
+# BENCH_TINY=1: CPU smoke of the whole bench flow (tiny geometry, a few
+# tokens) — validates setup ordering / branch plumbing without a chip
+TINY = __import__("os").environ.get("BENCH_TINY", "0") == "1"
+if TINY:
+    PROMPT_LEN, MAX_NEW_TOKENS = 32, 8
 
 
 def log(*a):
@@ -102,7 +107,8 @@ def _probe_backend(timeout_s: int = 300) -> None:
 
 
 def main():
-    _probe_backend()
+    if not TINY:
+        _probe_backend()
     try:  # persistent compile cache (harmless if unsupported on this platform)
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -117,6 +123,9 @@ def main():
         from u2tokenizer_tpu.config import LLMConfig
         import dataclasses
         cfg = dataclasses.replace(cfg, llm=LLMConfig.qwen3_8b())
+    if TINY:
+        jax.config.update("jax_platforms", "cpu")
+        cfg = U2ModelConfig.tiny()
     # BENCH_CKPT: real-weights day (docs/REALWEIGHTS_RUNBOOK.md) — point
     # at a convert-checkpoint output dir; its u2_config.json overrides the
     # geometry and the msgpack params replace the random init.
@@ -131,10 +140,14 @@ def main():
 
     b = BATCH
     d, h, w = cfg.vision.input_spatial
-    images = jax.random.normal(rng, (b, cfg.num_chunks, d, h, w), jnp.bfloat16)
-    input_ids = jnp.zeros((b, PROMPT_LEN), jnp.int32)
-    question_ids = jnp.ones((b, 64), jnp.int32)
-    prompt_len = jnp.full((b,), PROMPT_LEN, jnp.int32)
+    # init/eval_shape only need single-row exemplars; the full CT batch
+    # (4.3 GB at B128) is allocated AFTER the weight build+quantize so
+    # setup peaks don't stack on it (the int8w B128 rung OOMed in
+    # quantize with the batch resident — docs/artifacts/r5)
+    images = jax.random.normal(
+        rng, (1, cfg.num_chunks, d, h, w), jnp.bfloat16)
+    input_ids = jnp.zeros((1, PROMPT_LEN), jnp.int32)
+    question_ids = jnp.ones((1, 64), jnp.int32)
 
     log(f"bench: initializing μ²Qwen3-{MODEL} params on {jax.devices()[0]}")
     t0 = time.time()
@@ -189,13 +202,22 @@ def main():
         # matrix params are cast to bf16 and (default) the decoder is
         # weight-only int8-quantized (models/quantize.py).
         if WQ != "fp32":
-            params = jax.jit(cast_for_inference)(params)
+            # donate: the fp32 init tree is dead after the cast (keeping
+            # fp32+bf16+int8 trees live was the other half of the B128
+            # setup OOM)
+            params = jax.jit(cast_for_inference, donate_argnums=0)(params)
         if WQ == "int8":
-            params = jax.jit(quantize_llm_weights)(params)
+            params = jax.jit(quantize_llm_weights,
+                             donate_argnums=0)(params)
             model = U2CausalLM(quantized_llm_config(cfg), dtype=jnp.bfloat16)
     if params is not None:
         np.asarray(jax.tree_util.tree_leaves(params)[0])
     log(f"bench: serving weights = {WQ}")
+    images = jax.random.normal(
+        rng, (b, cfg.num_chunks, d, h, w), jnp.bfloat16)
+    input_ids = jnp.zeros((b, PROMPT_LEN), jnp.int32)
+    question_ids = jnp.ones((b, 64), jnp.int32)
+    prompt_len = jnp.full((b,), PROMPT_LEN, jnp.int32)
 
     gen = GenerationConfig(max_new_tokens=MAX_NEW_TOKENS, do_sample=False,
                            eos_token_id=-2, pad_token_id=0)
