@@ -1,0 +1,44 @@
+"""Smoke the bench harness itself (BENCH_TINY CPU mode).
+
+bench.py is the driver-recorded headline path; its setup ordering (weight
+build → quantize → CT-batch allocation, commit 350e597) and branch
+plumbing (int8w default / structural int4w) are exactly the kind of thing
+that silently breaks between rounds. BENCH_TINY=1 runs the whole flow on
+CPU at tiny geometry — same code path, a few tokens.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(extra_env):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # tiny mode forces cpu itself
+    env.update({"BENCH_TINY": "1", "BENCH_ALT_TOO": "0"}, **extra_env)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")], env=env,
+        capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_bench_tiny_default_config():
+    out = _run_bench({"BENCH_BATCH": "4"})
+    assert out["metric"] == "reports/min/chip"
+    assert out["value"] > 0
+    d = out["detail"]
+    assert d["weights"] == "int8" and d["kv_cache"] == "int4"
+    assert d["batch"] == 4 and d["model"].endswith("(random weights)")
+
+
+@pytest.mark.slow
+def test_bench_tiny_int4_structural_branch():
+    out = _run_bench({"BENCH_BATCH": "2", "BENCH_WQ": "int4"})
+    assert out["value"] > 0 and out["detail"]["weights"] == "int4"
