@@ -135,8 +135,18 @@ def stage_quant():
     # OOM-killed at full geometry (130 GB anon RSS) — per-mode processes
     # reset host RSS between modes and U2_QR_TRACE localizes any repeat
     os.environ["U2_QR_TRACE"] = "1"
+    # per-mode sub-stage resume: each mode is ~1h at full geometry, so a
+    # timeout mid-int4 must not force the finished int8 leg to repeat
+    prior = {}
+    if os.path.exists(STATE):
+        prior = json.load(open(STATE))
     out = {}
     for mode in ("int8", "int4"):
+        sub = f"quant_{mode}"
+        if sub in prior:
+            log(f"quant: {sub} already recorded, skipping")
+            out.update(prior[sub])
+            continue
         argv = ["quant-report", "--checkpoint", OUT, "--modes", mode,
                 "--greedy-tokens", "4" if TINY else "32",
                 "--platform", "cpu" if TINY else "default"]
@@ -144,7 +154,9 @@ def stage_quant():
             argv += ["--tiny"]
         if os.environ.get("REH_DECISION_GRADE") != "1":
             argv += ["--rehearsal"]
-        out.update(json.loads(_run_cli(argv)))
+        mode_out = json.loads(_run_cli(argv))
+        _save(sub, mode_out)
+        out.update(mode_out)
     summary = {}
     for mode in ("int8", "int4"):
         if mode in out:

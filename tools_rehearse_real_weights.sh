@@ -27,7 +27,7 @@ EOF
 have emit    || REH_STAGE=emit    timeout 3600 python tools_rehearse_real_weights.py
 have convert || REH_STAGE=convert timeout 3600 python tools_rehearse_real_weights.py
 have verify  || REH_STAGE=verify  timeout 7200 python tools_rehearse_real_weights.py
-have quant   || REH_STAGE=quant   timeout 7200 python tools_rehearse_real_weights.py
+have quant   || REH_STAGE=quant   timeout "${REH_QUANT_TIMEOUT:-7200}" python tools_rehearse_real_weights.py
 have serve   || REH_STAGE=serve   timeout 3600 python tools_rehearse_real_weights.py
 # the int4-weight candidate leg the quant gate decides about
 have serve_int4 || REH_STAGE=serve REH_WQ=int4 timeout 3600 python tools_rehearse_real_weights.py
