@@ -34,10 +34,12 @@ def server_url(tmp_path_factory):
     ckpt = str(tmp / "ckpt")
     save_hf_checkpoint(ckpt, params, cfg)
 
+    # sampled serving is the reference's mode (lu2_model.py:63 top-p 0.9)
+    # and the mode whose speculative default is measurement-justified
     wrapper = U2InferenceModel(ckpt, tokenizer=MockTokenizer(),
                                model_config=cfg, dtype=jnp.float32,
                                max_length=32, max_new_tokens=4,
-                               do_sample=False)
+                               do_sample=True)
     transform = U2VolumeTransform(data_type="validation", target_size=h,
                                   chunk_depth=d, num_chunks=cfg.num_chunks)
     httpd = serve_background(wrapper, port=0, transform=transform)
@@ -332,8 +334,10 @@ def test_upload_slice_viewer_and_config(server_url):
     with urllib.request.urlopen(url + "/v1/config") as resp:
         cfg = json.loads(resp.read())
     assert cfg["weights"] == "bf16"
-    # r5 default: report serving rides speculative decode (measured
-    # 1.17-1.29x on report content — BENCHMARKS.md "Speculative SAMPLING")
+    # r5 default: SAMPLED report serving rides speculative decode
+    # (measured 1.17-1.29x on report content — BENCHMARKS.md "Speculative
+    # SAMPLING"); greedy serving stays plain (spec greedy measured a net
+    # loss at B64), so the default follows do_sample
     assert cfg["speculative"] is True
 
 

@@ -108,16 +108,21 @@ class U2InferenceModel:
             pad_token_id=tokenizer.pad_token_id or 0)
         self.gen_cfg = gen
         # ``speculative``: n-gram-drafted decode — identical tokens when
-        # greedy, identical distribution when sampling. DEFAULT ON for the
-        # report-serving surface (r5): speculative SAMPLING measured a
+        # greedy, identical distribution when sampling. DEFAULT ON only for
+        # SAMPLED report serving (r5): speculative SAMPLING measured a
         # 1.29x win at B64 and 1.17x at B16 on AMOS-style report content
         # (acceptance 1.77-1.79; BENCHMARKS.md "Speculative SAMPLING",
         # docs/artifacts/r5/spec_sampling_b64.json) — radiology reports are
-        # template-heavy, which is exactly the acceptance regime. Pass
-        # speculative=False for adversarial/low-acceptance content (the
-        # crossover is ~1.3-1.5 accepted tokens/step).
+        # template-heavy, which is exactly the acceptance regime. GREEDY
+        # spec decode is a measured net LOSS on the same content (200.5 vs
+        # 245.0 r/min plain at B64: the verify step costs ~2.2x a greedy
+        # step, more than acceptance 1.77 recovers), so greedy serving
+        # stays plain unless explicitly requested — matching cli generate
+        # and the slot engine. Pass speculative=False to force plain
+        # sampling for adversarial/low-acceptance content (the crossover
+        # is ~1.3-1.5 accepted tokens/step).
         if speculative is None:
-            speculative = True
+            speculative = bool(do_sample)
         self._speculative = speculative
         if speculative:
             self._gen_fn = make_spec_multimodal_generate_fn(
