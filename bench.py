@@ -107,6 +107,7 @@ def _probe_backend(timeout_s: int = 300) -> None:
 
 
 def main():
+    global MODEL, BATCH  # re-bound when BENCH_CKPT geometry disagrees
     if not TINY:
         _probe_backend()
     try:  # persistent compile cache (harmless if unsupported on this platform)
@@ -135,6 +136,24 @@ def main():
         import os as _os
         cfg = U2ModelConfig.from_dict(_json.load(
             open(_os.path.join(ckpt_dir, "u2_config.json"))))
+        # reconcile MODEL (and its batch/baseline defaults) with the
+        # checkpoint's actual geometry: an 8B checkpoint benched with
+        # BENCH_MODEL unset would otherwise inherit the 1.7B batch (112
+        # — OOM on a 16 GB chip) and divide vs_baseline by the 1.7B A40
+        # bound (a ~5x overstated headline)
+        detected = "8b" if cfg.llm.hidden_size >= 4096 else "1.7b"
+        env_model = __import__("os").environ.get("BENCH_MODEL")
+        if env_model and env_model != detected:
+            raise SystemExit(
+                f"bench: BENCH_MODEL={env_model} but {ckpt_dir} has "
+                f"hidden_size={cfg.llm.hidden_size} ({detected}); unset "
+                "BENCH_MODEL or point BENCH_CKPT at a matching checkpoint")
+        if MODEL != detected:
+            MODEL = detected
+            if not __import__("os").environ.get("BENCH_BATCH"):
+                BATCH = 112 if MODEL == "1.7b" else 16
+            log(f"bench: checkpoint geometry is {MODEL}; batch={BATCH}, "
+                f"baseline=A40 {MODEL} bound")
     model = U2CausalLM(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
 
@@ -164,7 +183,9 @@ def main():
         with open(_os.path.join(ckpt_dir, "u2_params.msgpack"), "rb") as f:
             params = serialization.msgpack_restore(f.read())
         params = jax.device_put(params)
-        params = jax.jit(cast_for_inference, donate_argnums=0)(params)
+        if WQ != "fp32":  # match the random-init branch: a BENCH_WQ=fp32
+            # A/B must actually serve fp32, not silently cast to bf16
+            params = jax.jit(cast_for_inference, donate_argnums=0)(params)
         if WQ in ("int8", "int4"):
             params = jax.jit(lambda p: quantize_llm_weights(p, WQ),
                              donate_argnums=0)(params)

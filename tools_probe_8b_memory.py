@@ -96,9 +96,7 @@ def main():
     dt = lambda a: jnp.bfloat16 if (a.dtype == jnp.float32
                                     and len(a.shape) >= 2) else a.dtype
     params = jax.jit(lambda: jax.tree_util.tree_map(
-        lambda a: (jnp.zeros(a.shape, dt(a))
-                   if not jnp.issubdtype(a.dtype, jnp.integer)
-                   else jnp.zeros(a.shape, a.dtype)), abs_tree))()
+        lambda a: jnp.zeros(a.shape, dt(a)), abs_tree))()
     np.asarray(jax.tree_util.tree_leaves(params)[0])
     log(f"probe: params ready ({MODEL}, wq={WQ})")
 
@@ -111,12 +109,6 @@ def main():
 
     embeds_fn = jax.jit(functools.partial(_microbatched_embeds, model,
                                           vision_microbatch=VMB))
-    # decode_chunk -> make_generate_fn returns a host-level fn whose
-    # prefill/decode stages are separately jitted; ask it to expose them
-    gen_fn = make_generate_fn(model, gen, KV, PFC,
-                              decode_chunk=DECODE_CHUNK)
-    if DECODE_CHUNK is None:  # fused path returns a jittable, not a jit
-        gen_fn = jax.jit(gen_fn)
 
     result = {"model": MODEL, "batch": B, "vmb": VMB,
               "prefill_chunk": PFC or 0, "wq": WQ, "kv": KV,
@@ -156,6 +148,15 @@ def main():
         try_ma("prefill_proxy", lambda: jax.jit(pre2).lower(
             params, ids, images, qids, plen, jax.random.PRNGKey(1)))
     else:
+        # decode_chunk -> make_generate_fn returns a host-level fn whose
+        # prefill/decode stages are separately jitted (the staged relay
+        # path); DECODE_CHUNK=0 probes the fused shipping path instead.
+        # Only the time probe runs it — the mem probe compiles the
+        # unstaged whole program below.
+        gen_fn = make_generate_fn(model, gen, KV, PFC,
+                                  decode_chunk=DECODE_CHUNK)
+        if DECODE_CHUNK is None:  # fused path returns a jittable, not a jit
+            gen_fn = jax.jit(gen_fn)
         t0 = time.time()
         embeds = embeds_fn(params, ids, images, qids)
         np.asarray(embeds[0, 0, :2].astype(jnp.float32))

@@ -334,6 +334,10 @@ def decide(entry: Dict[str, Any], mode: str,
                          "(re-run without --weights-only / with "
                          "--greedy-tokens)")
     if not decision_grade:
-        out["note"] = ("random/synthetic weights: thresholds exercised but "
-                       "NOT decision-grade — re-run on a real checkpoint")
+        # append rather than replace: a rehearsal --weights-only run must
+        # still name the checks that were never evaluated
+        grade_note = ("random/synthetic weights: thresholds exercised but "
+                      "NOT decision-grade — re-run on a real checkpoint")
+        out["note"] = (out["note"] + " | " + grade_note
+                       if "note" in out else grade_note)
     return out
