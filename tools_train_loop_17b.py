@@ -51,6 +51,51 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def summarize_metrics(metrics_path: str, art_dir: str, art_prefix: str,
+                      title: str, resumed_from=None):
+    """Shared train-loop summary tail (17B and 8B proofs).
+
+    MetricLogger appends across kill+resume: steps between the restored
+    checkpoint and the kill point appear twice (run-1 tail + run-2
+    deterministic replay). The raw jsonl is copied into ``art_dir`` as-is
+    for provenance; the returned curve and the rendered loss PNG use the
+    latest row per step. Returns (curve_rows, replayed_count, png_path)
+    with png_path None when matplotlib is unavailable."""
+    import shutil
+
+    os.makedirs(art_dir, exist_ok=True)
+    rows = [json.loads(x) for x in open(metrics_path)]
+    by_step = {}
+    for r in rows:
+        by_step[r["step"]] = r
+    curve = [by_step[k] for k in sorted(by_step)]
+    replayed = len(rows) - len(curve)
+    shutil.copy(metrics_path,
+                os.path.join(art_dir, f"{art_prefix}_metrics.jsonl"))
+    png = os.path.join(art_dir, f"{art_prefix}_loss.png")
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 3.5))
+        ax.plot([r["step"] for r in curve], [r["loss"] for r in curve],
+                lw=1.2)
+        if resumed_from:
+            ax.axvline(resumed_from, ls="--", lw=0.8, color="gray")
+            ax.text(resumed_from, max(r["loss"] for r in curve),
+                    f" resume @{resumed_from}", fontsize=8, color="gray")
+        ax.set_xlabel("step")
+        ax.set_ylabel("LM loss")
+        ax.set_title(title)
+        fig.tight_layout()
+        fig.savefig(png, dpi=120)
+    except Exception as e:
+        log(f"loss-curve png skipped: {e}")
+        png = None
+    return curve, replayed, png
+
+
 def prepare_dataset() -> str:
     """Generate volumes + train.jsonl under RUN_DIR (idempotent)."""
     from u2tokenizer_tpu.data.nifti import write_nifti
@@ -259,43 +304,11 @@ def main():
     final_step = int(np.asarray(state.step))
 
     # ---- artifacts: loss curve + raw metrics ----
-    os.makedirs(ART_DIR, exist_ok=True)
     metrics_path = os.path.join(tcfg.output_dir, "metrics.jsonl")
-    rows = [json.loads(x) for x in open(metrics_path)]
-    # MetricLogger appends across kill+resume: steps between the restored
-    # checkpoint and the kill point appear twice (run-1 tail + run-2
-    # deterministic replay). Raw jsonl keeps both for provenance; the
-    # curve and summary use the latest row per step.
-    by_step = {}
-    for r in rows:
-        by_step[r["step"]] = r
-    curve = [by_step[k] for k in sorted(by_step)]
-    replayed = len(rows) - len(curve)
-    import shutil
-    shutil.copy(metrics_path, os.path.join(ART_DIR,
-                                           "train_loop_metrics.jsonl"))
-    png = os.path.join(ART_DIR, "train_loop_loss.png")
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, ax = plt.subplots(figsize=(7, 3.5))
-        ax.plot([r["step"] for r in curve], [r["loss"] for r in curve],
-                lw=1.2)
-        if resumed_from:
-            ax.axvline(resumed_from, ls="--", lw=0.8, color="gray")
-            ax.text(resumed_from, max(r["loss"] for r in curve),
-                    f" resume @{resumed_from}", fontsize=8, color="gray")
-        ax.set_xlabel("step")
-        ax.set_ylabel("LM loss")
-        ax.set_title("1.7B LoRA SFT over the synthetic-report dataset "
-                     "(real DataLoader/ckpt/resume loop)")
-        fig.tight_layout()
-        fig.savefig(png, dpi=120)
-    except Exception as e:
-        log(f"loss-curve png skipped: {e}")
-        png = None
+    curve, replayed, png = summarize_metrics(
+        metrics_path, ART_DIR, "train_loop",
+        "1.7B LoRA SFT over the synthetic-report dataset "
+        "(real DataLoader/ckpt/resume loop)", resumed_from)
 
     losses = [r["loss"] for r in curve]
     print(json.dumps({

@@ -217,43 +217,11 @@ def main():
     wall = time.time() - t0
     final_step = int(np.asarray(state.step))
 
-    os.makedirs(ART_DIR, exist_ok=True)
     metrics_path = os.path.join(tcfg.output_dir, "metrics.jsonl")
-    rows = [json.loads(x) for x in open(metrics_path)]
-    # MetricLogger appends across the kill+resume protocol: steps between
-    # the restored checkpoint and the kill point appear twice (run-1 tail +
-    # run-2 deterministic replay). Keep the raw jsonl as-is for provenance;
-    # the curve and summary use the latest row per step.
-    by_step = {}
-    for r in rows:
-        by_step[r["step"]] = r
-    curve = [by_step[k] for k in sorted(by_step)]
-    replayed = len(rows) - len(curve)
-    import shutil
-    shutil.copy(metrics_path,
-                os.path.join(ART_DIR, "train_loop_8b_metrics.jsonl"))
-    png = os.path.join(ART_DIR, "train_loop_8b_loss.png")
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, ax = plt.subplots(figsize=(7, 3.5))
-        ax.plot([r["step"] for r in curve], [r["loss"] for r in curve],
-                lw=1.2)
-        if resumed_from:
-            ax.axvline(resumed_from, ls="--", lw=0.8, color="gray")
-            ax.text(resumed_from, max(r["loss"] for r in curve),
-                    f" resume @{resumed_from}", fontsize=8, color="gray")
-        ax.set_xlabel("step")
-        ax.set_ylabel("LM loss")
-        ax.set_title(f"8B QLoRA ({QUANT} base) SFT over the "
-                     "synthetic-report dataset (real loop, one chip)")
-        fig.tight_layout()
-        fig.savefig(png, dpi=120)
-    except Exception as e:
-        log(f"loss-curve png skipped: {e}")
-        png = None
+    curve, replayed, png = t17.summarize_metrics(
+        metrics_path, ART_DIR, "train_loop_8b",
+        f"8B QLoRA ({QUANT} base) SFT over the "
+        "synthetic-report dataset (real loop, one chip)", resumed_from)
 
     losses = [r["loss"] for r in curve]
     gns = [r["grad_norm"] for r in curve
