@@ -138,7 +138,12 @@ def make_generate_fn(
         BENCHMARKS.md spec-sampling section), so long-T/large-B offline
         jobs set decode_chunk to stay under it. Costs one ~30-40 ms relay
         dispatch per chunk. The returned callable is host-level — do NOT
-        wrap it in jax.jit (it jits its stages internally).
+        wrap it in jax.jit (it jits its stages internally). Memory note:
+        the stage boundaries materialize full-batch embeds/cache as
+        program I/O that the fused single program overlaps in temps — at
+        8B geometry the staged path OOMs at B48/B64 where the fused path
+        serves B64 (docs/artifacts/r5/probe8b_mem_b64.json), so size
+        staged 8B jobs at ≤B32 or shard the batch across jobs.
 
     Returns:
       (B, max_new_tokens) int32 generated ids, pad-filled after EOS.
