@@ -143,7 +143,10 @@ def make_generate_fn(
         program I/O that the fused single program overlaps in temps — at
         8B geometry the staged path OOMs at B48/B64 where the fused path
         serves B64 (docs/artifacts/r5/probe8b_mem_b64.json), so size
-        staged 8B jobs at ≤B32 or shard the batch across jobs.
+        staged 8B jobs at ≤B32 or shard the batch across jobs. Cache
+        format: use an int8 (not int4) cache with decode_chunk — S4
+        arrays cannot cross the axon relay's jit boundary between chunks
+        (docs/artifacts/r5/probe8b_time_b32_relay.json).
 
     Returns:
       (B, max_new_tokens) int32 generated ids, pad-filled after EOS.
