@@ -142,11 +142,13 @@ def make_generate_fn(
         the stage boundaries materialize full-batch embeds/cache as
         program I/O that the fused single program overlaps in temps — at
         8B geometry the staged path OOMs at B48/B64 where the fused path
-        serves B64 (docs/artifacts/r5/probe8b_mem_b64.json), so size
-        staged 8B jobs at ≤B32 or shard the batch across jobs. Cache
-        format: use an int8 (not int4) cache with decode_chunk — S4
+        serves B64 (docs/artifacts/r5/probe8b_mem_b64.json). Cache
+        format: decode_chunk requires an int8 (not int4) cache — S4
         arrays cannot cross the axon relay's jit boundary between chunks
-        (docs/artifacts/r5/probe8b_time_b32_relay.json).
+        (docs/artifacts/r5/probe8b_time_b32_relay.json) — and with the
+        doubled int8 cache the 8B staged path exhausts the chip even at
+        B32 (probe8b_time_b32_relay_int8kv.json): treat decode_chunk as
+        a 1.7B / long-T tool and serve 8B through the fused program.
 
     Returns:
       (B, max_new_tokens) int32 generated ids, pad-filled after EOS.
