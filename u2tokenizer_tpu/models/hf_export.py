@@ -38,24 +38,60 @@ def _ln(sd: Dict[str, np.ndarray], name: str, p: Mapping):
 
 
 def export_decoder(params: Mapping, cfg, sd: Dict[str, np.ndarray]) -> None:
-    """CausalLM params {'model': ..., ['lm_head']} -> HF decoder names."""
+    """CausalLM params {'model': ..., ['lm_head']} -> HF decoder names.
+
+    Mirrors hf_weights.convert_decoder per family: phi3 re-fuses
+    qkv_proj / gate_up_proj (the torch Phi3 modules only load fused
+    names), phi2 uses layernorm scale+bias params, fc1/fc2 gelu MLP,
+    self_attn.dense, model.final_layernorm, and no post-attention norm
+    (parallel block) — so every family convert_decoder imports also
+    round-trips back out.
+    """
     model = params["model"]
+    fused = cfg.model_type == "phi3"
+    phi2 = cfg.model_type == "phi2"
+
+    def norm(name: str, p: Mapping) -> None:
+        if cfg.norm_type == "layernorm":
+            sd[name + ".weight"] = _np(p["scale"])
+            sd[name + ".bias"] = _np(p["bias"])
+        else:
+            sd[name + ".weight"] = _np(p["weight"])
+
     sd["model.embed_tokens.weight"] = _np(model["embed_tokens"])
-    sd["model.norm.weight"] = _np(model["norm"]["weight"])
+    norm("model.final_layernorm" if phi2 else "model.norm", model["norm"])
     for i in range(cfg.num_layers):
         layer = model[f"layers_{i}"]
         p = f"model.layers.{i}."
-        sd[p + "input_layernorm.weight"] = _np(layer["input_layernorm"]["weight"])
-        sd[p + "post_attention_layernorm.weight"] = _np(
-            layer["post_attention_layernorm"]["weight"])
+        norm(p + "input_layernorm", layer["input_layernorm"])
+        if not cfg.parallel_block:
+            norm(p + "post_attention_layernorm",
+                 layer["post_attention_layernorm"])
         attn = layer["self_attn"]
-        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            _lin(sd, p + "self_attn." + nm, attn[nm])
+        if fused:
+            sd[p + "self_attn.qkv_proj.weight"] = np.concatenate(
+                [np.ascontiguousarray(_np(attn[nm]["kernel"]).T)
+                 for nm in ("q_proj", "k_proj", "v_proj")], axis=0)
+        else:
+            for nm in ("q_proj", "k_proj", "v_proj"):
+                _lin(sd, p + "self_attn." + nm, attn[nm])
+        _lin(sd, p + ("self_attn.dense" if phi2 else "self_attn.o_proj"),
+             attn["o_proj"])
         if cfg.qk_norm:
             sd[p + "self_attn.q_norm.weight"] = _np(attn["q_norm"]["weight"])
             sd[p + "self_attn.k_norm.weight"] = _np(attn["k_norm"]["weight"])
-        for nm in ("gate_proj", "up_proj", "down_proj"):
-            _lin(sd, p + "mlp." + nm, layer["mlp"][nm])
+        mlp = layer["mlp"]
+        if cfg.mlp_type == "gelu":
+            _lin(sd, p + "mlp.fc1", mlp["fc1"])
+            _lin(sd, p + "mlp.fc2", mlp["fc2"])
+        elif fused:
+            sd[p + "mlp.gate_up_proj.weight"] = np.concatenate(
+                [np.ascontiguousarray(_np(mlp[nm]["kernel"]).T)
+                 for nm in ("gate_proj", "up_proj")], axis=0)
+            _lin(sd, p + "mlp.down_proj", mlp["down_proj"])
+        else:
+            for nm in ("gate_proj", "up_proj", "down_proj"):
+                _lin(sd, p + "mlp." + nm, mlp[nm])
     if not cfg.tie_word_embeddings and "lm_head" in params:
         _lin(sd, "lm_head", params["lm_head"])
 
@@ -142,6 +178,17 @@ def export_u2_state_dict(params: Mapping,
             _lin(sd, "model.mm_projector.linear", proj["linear"])
     if "u2tokenizer" in p:
         export_u2tokenizer(p["u2tokenizer"], cfg, sd)
+    if "seg_module" in p or "seg_projector" in p:
+        # no torch-layout mapping exists for the JAX SegVol stack (the
+        # emitted remote-code module is text+vision only); dropping the
+        # params silently would let a '[SEG]' checkpoint reload with a
+        # random seg head — make the loss loud. Native round-trips keep
+        # seg weights via cli convert-checkpoint's msgpack tree.
+        import warnings
+        warnings.warn(
+            "export_u2_state_dict: segmentation params (seg_module/"
+            "seg_projector) are NOT exported to the HF state dict — use "
+            "the native msgpack checkpoint to preserve the seg head")
     return sd
 
 
@@ -166,6 +213,17 @@ def save_hf_checkpoint(path: str, params: Mapping, cfg: U2ModelConfig,
         "head_dim": cfg.llm.head_dim,
         "rope_theta": cfg.llm.rope_theta,
         "rms_norm_eps": cfg.llm.rms_norm_eps,
+        # rope_scaling must survive config.json (Llama-3.2 checkpoints):
+        # a consumer reading only config.json would otherwise compute
+        # unscaled rotary frequencies and diverge from this model
+        **({"rope_scaling": {
+            "rope_type": cfg.llm.rope_scaling_type,
+            "factor": cfg.llm.rope_scaling_factor,
+            "low_freq_factor": cfg.llm.rope_low_freq_factor,
+            "high_freq_factor": cfg.llm.rope_high_freq_factor,
+            "original_max_position_embeddings":
+                cfg.llm.rope_original_max_position,
+        }} if cfg.llm.rope_scaling_type else {}),
         "tie_word_embeddings": cfg.llm.tie_word_embeddings,
         "max_position_embeddings": cfg.llm.max_position_embeddings,
         # u2 attributes (u2_arch.py:29-53)

@@ -374,7 +374,7 @@ def llm_config_from_hf(hf_config) -> LLMConfig:
     mt = (get("model_type") or "qwen3").lower()
     family = ("qwen3" if "qwen3" in mt else
               "phi3" if "phi3" in mt else
-              "phi2" if mt == "phi" or "phi-2" in mt or mt == "phi2" else
+              "phi2" if mt == "phi" or "phi-2" in mt or "phi2" in mt else
               "llama")
     nh = get("num_attention_heads")
     phi2 = family == "phi2"
